@@ -1,0 +1,81 @@
+"""Multi-head attention op with an XLA path and a Pallas TPU kernel path.
+
+The reference inherits attention from diffusers' CUDA blocks
+(``cond_unet_2d.py:19-26`` via ``AttnDownBlock2D``/``UNetMidBlock2D``).
+Here attention is a standalone op: callers hand us [B, S, H, D] tensors and
+we pick the best implementation for the platform:
+
+* ``xla``   — einsum + f32 softmax; XLA fuses this well and it is the
+              reference semantics for all tests.
+* ``pallas`` — fused flash-style kernel (see ``phendiff_tpu/ops/flash_attention.py``)
+              used on TPU for large sequence lengths where materializing the
+              S×S score matrix wastes HBM bandwidth.
+
+Softmax is always computed in float32 regardless of input dtype (the
+reference sets ``upcast_attention=True`` for the SD-size config).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# Sequence length above which the fused kernel pays off (128px latents → 256
+# tokens fit VMEM easily either way; the kernel matters at ≥1024 tokens).
+_PALLAS_MIN_SEQ = 1024
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def attention_xla(
+    q: Array, k: Array, v: Array, *, scale: Optional[float] = None
+) -> Array:
+    """[B, S, H, D] q/k/v → [B, S, H, D]. f32 accumulation and softmax."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    qf = q.astype(jnp.float32) * scale
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    scale: Optional[float] = None,
+    implementation: Optional[str] = None,
+) -> Array:
+    """Dispatch between XLA and Pallas implementations.
+
+    implementation: None (auto) | "xla" | "pallas".
+    """
+    if implementation is None:
+        use_pallas = (
+            _on_tpu()
+            and q.shape[1] >= _PALLAS_MIN_SEQ
+            and q.shape[1] == k.shape[1]
+        )
+        implementation = "pallas" if use_pallas else "xla"
+    if implementation == "xla":
+        return attention_xla(q, k, v, scale=scale)
+    if implementation == "pallas":
+        from phendiff_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention implementation: {implementation}")

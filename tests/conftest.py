@@ -1,0 +1,48 @@
+"""Test configuration: force an 8-device virtual CPU platform.
+
+This gives every test a multi-device environment ("multi-node without a
+cluster") regardless of the hardware the suite runs on — the TPU chip is
+reserved for benchmarks.  Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def tiny_image_root(tmp_path_factory):
+    """A tiny 2-class imagefolder dataset (16 images/class, 32x32 RGB)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("tiny_imagefolder")
+    rg = np.random.default_rng(42)
+    for cls in ("DMSO", "drug"):
+        d = root / cls
+        d.mkdir()
+        for i in range(16):
+            arr = rg.integers(0, 255, size=(32, 32, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i:03d}.png")
+    return root
