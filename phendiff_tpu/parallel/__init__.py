@@ -1,0 +1,9 @@
+from phendiff_tpu.parallel.mesh import (  # noqa: F401
+    DATA_AXIS,
+    MODEL_AXIS,
+    data_sharding,
+    make_mesh,
+    replicate,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,190 @@
+"""Class-conditional DDIM sampling & inversion as jit-compiled scans.
+
+Capability parity with the reference's ``ConditionalDDIMPipeline.__call__``
+(``src/pipeline_conditional_ddim/pipeline_conditionial_ddim.py:139-361``)
+and ``_inversion`` (``src/utils_Img2Img.py:763-800``):
+
+* start from pure noise or a given image; optional forward-noising of the
+  start image to the first kept timestep;
+* partial trajectories via ``frac_diffusion_skipped``;
+* classifier-free guidance with BOTH reference equations —
+  Imagen ``uncond + w (cond - uncond)`` (active iff w > 1) and original CFG
+  ``cond + w (cond - uncond)`` (active iff w > 0) — including per-sample
+  tensor ``w``;
+* eta-parameterized DDIM→DDPM interpolation;
+* deterministic inversion with the source class.
+
+TPU-first differences from the reference:
+
+* the denoise loop is a single ``lax.scan`` over precomputed (t, t_prev)
+  pairs — one compiled program, no per-step Python dispatch;
+* the CFG cond/uncond passes run as ONE batched forward (batch 2B) instead
+  of the reference's two sequential unbatched forwards (the TODO at
+  ``pipeline_conditionial_ddim.py:287`` acknowledges this cost);
+* the unconditional branch feeds a zeros class embedding through the
+  ``class_emb`` input, exactly as the reference does (``:310-317``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phendiff_tpu.core import scheduler as S
+
+Array = jax.Array
+
+# denoiser(x[B,H,W,C], t[B], class_emb[B,D]) -> model_output[B,H,W,C]
+DenoiserFn = Callable[[Array, Array, Array], Array]
+
+DEFAULT_NUM_INFERENCE_STEPS = 50  # reference: pipeline_conditionial_ddim.py:24
+
+
+@dataclasses.dataclass(frozen=True)
+class GuidanceConfig:
+    """CFG configuration. ``guidance_factor`` may be a python scalar (static)
+    or a per-sample array (always applies guidance elementwise)."""
+
+    guidance_factor: Union[float, Array] = 0.0
+    equation: str = "imagen"  # "imagen" | "cfg"
+
+    def __post_init__(self):
+        if self.equation not in ("imagen", "cfg"):
+            raise ValueError(f"unknown guidance equation: {self.equation}")
+
+    @property
+    def active(self) -> bool:
+        w = self.guidance_factor
+        if isinstance(w, (int, float)):
+            return (w > 1.0) if self.equation == "imagen" else (w > 0.0)
+        return True  # tensor w: always guided (reference :272-284)
+
+    def combine(self, cond: Array, uncond: Array) -> Array:
+        w = self.guidance_factor
+        if not isinstance(w, (int, float)):
+            w = jnp.asarray(w).reshape((-1,) + (1,) * (cond.ndim - 1))
+        if self.equation == "imagen":
+            return uncond + w * (cond - uncond)
+        return cond + w * (cond - uncond)
+
+
+def _scan_pairs(ts: np.ndarray, t_prev: np.ndarray) -> Array:
+    return jnp.stack(
+        [jnp.asarray(ts, dtype=jnp.int32), jnp.asarray(t_prev, dtype=jnp.int32)],
+        axis=1,
+    )
+
+
+def ddim_sample(
+    denoiser: DenoiserFn,
+    schedule: S.NoiseSchedule,
+    class_emb: Array,  # [B, D] conditioning embeddings (rows of the table)
+    *,
+    shape: Optional[tuple] = None,
+    rng: Optional[Array] = None,
+    start_image: Optional[Array] = None,
+    add_forward_noise: bool = False,
+    num_inference_steps: int = DEFAULT_NUM_INFERENCE_STEPS,
+    frac_diffusion_skipped: float = 0.0,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    eta: float = 0.0,
+    uncond_emb: Optional[Array] = None,
+) -> Array:
+    """Run the conditional DDIM sampler; returns samples in [-1, 1].
+
+    Exactly one of (``shape`` + ``rng``) or ``start_image`` selects the
+    initial state (reference ``:237-245``).  ``add_forward_noise`` noises the
+    start image to the first kept timestep (reference ``:263-269``).
+    """
+    if start_image is None:
+        if shape is None or rng is None:
+            raise ValueError("need shape+rng when no start_image is given")
+        rng, sub = jax.random.split(rng)
+        x = jax.random.normal(sub, shape, dtype=jnp.float32)
+    else:
+        x = start_image.astype(jnp.float32)
+
+    ts, t_prev = S.timestep_pairs(
+        schedule.config, num_inference_steps, frac_diffusion_skipped
+    )
+
+    if add_forward_noise:
+        if rng is None:
+            raise ValueError("add_forward_noise requires rng")
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        x = S.add_noise(schedule, x, noise, jnp.asarray(ts[0]))
+
+    do_cfg = guidance.active
+    if do_cfg and uncond_emb is None:
+        uncond_emb = jnp.zeros_like(class_emb)
+
+    pairs = _scan_pairs(ts, t_prev)
+    b = x.shape[0]
+    need_noise = eta > 0.0
+    if need_noise and rng is None:
+        raise ValueError("eta > 0 requires rng")
+    step_keys = (
+        jax.random.split(rng, pairs.shape[0]) if need_noise else jnp.zeros((pairs.shape[0], 2), dtype=jnp.uint32)
+    )
+
+    def body(x, inp):
+        pair, key = inp
+        t = jnp.broadcast_to(pair[0], (b,))
+        if do_cfg:
+            # one batched forward: [cond; uncond]
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            emb2 = jnp.concatenate([class_emb, uncond_emb], axis=0)
+            out2 = denoiser(x2, t2, emb2)
+            cond, uncond = jnp.split(out2, 2, axis=0)
+            model_out = guidance.combine(cond, uncond)
+        else:
+            model_out = denoiser(x, t, class_emb)
+        noise = (
+            jax.random.normal(key, x.shape, dtype=x.dtype) if need_noise else None
+        )
+        x = S.ddim_step(
+            schedule, model_out, pair[0], pair[1], x, eta=eta, noise=noise
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (pairs, step_keys))
+    return x
+
+
+def ddim_invert(
+    denoiser: DenoiserFn,
+    schedule: S.NoiseSchedule,
+    image: Array,  # [B, H, W, C] in [-1, 1]
+    class_emb: Array,  # [B, D] — SOURCE class conditioning
+    *,
+    num_inference_steps: int = DEFAULT_NUM_INFERENCE_STEPS,
+) -> Array:
+    """Deterministic DDIM inversion (image → Gaussian-ish latent).
+
+    The reference's ``_inversion`` hot loop (``utils_Img2Img.py:782-798``)
+    as a scan over ascending (t, t_next) pairs; always unguided (w=0), as in
+    the DDIB transfer method."""
+    ts, t_next = S.inversion_timestep_pairs(schedule.config, num_inference_steps)
+    pairs = _scan_pairs(ts, t_next)
+    b = image.shape[0]
+    x = image.astype(jnp.float32)
+
+    def body(x, pair):
+        t = jnp.broadcast_to(pair[0], (b,))
+        model_out = denoiser(x, t, class_emb)
+        x = S.ddim_inverse_step(schedule, model_out, pair[0], pair[1], x)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, pairs)
+    return x
+
+
+def to_images(x: Array) -> Array:
+    """[-1,1] model space → [0,1] image space (reference ``:349-352``)."""
+    return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)

@@ -7,7 +7,12 @@ reserved for benchmarks.  Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU. NOTE: setting JAX_PLATFORMS is NOT enough on this machine — a
+# sitecustomize hook registers the tunneled TPU ("axon") PJRT plugin in
+# every Python process and re-prioritizes it; per-op dispatch over that
+# tunnel is slow, single-client, and reserved for bench runs.  The config
+# update below wins because it runs before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +21,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: UNet graphs take 20-80s to compile on this
+# 1-core host; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

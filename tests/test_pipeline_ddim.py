@@ -1,0 +1,149 @@
+"""Pipeline tests: sampling scan, CFG equations, inversion round-trip,
+save/load round-trip.  (Reference parity: pipeline_conditionial_ddim.py
+behavior table in SURVEY.md §2.)"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phendiff_tpu.core import SchedulerConfig
+from phendiff_tpu.models import UNet2DConfig
+from phendiff_tpu.pipelines import (
+    ConditionalDDIMPipeline,
+    GuidanceConfig,
+    to_images,
+)
+
+TINY_UNET = UNet2DConfig(
+    sample_size=16,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    attention_head_dim=4,
+    num_class_embeds=2,
+)
+# clip_sample=False: x0 clipping breaks DDIM invertibility (the reference's
+# inversion path likewise runs without clipping, utils_Img2Img.py:776-798)
+SCHED = SchedulerConfig(
+    num_train_timesteps=100, timestep_spacing="trailing", clip_sample=False
+)
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+
+
+def test_generate_shape_and_range(pipe):
+    labels = jnp.array([0, 1])
+    out = pipe.generate(labels, jax.random.key(0), num_inference_steps=4)
+    assert out.shape == (2, 16, 16, 3)
+    imgs = to_images(out)
+    assert float(jnp.min(imgs)) >= 0.0 and float(jnp.max(imgs)) <= 1.0
+
+
+def test_generate_deterministic_given_key(pipe):
+    labels = jnp.array([0])
+    a = pipe.generate(labels, jax.random.key(1), num_inference_steps=4)
+    b = pipe.generate(labels, jax.random.key(1), num_inference_steps=4)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = pipe.generate(labels, jax.random.key(2), num_inference_steps=4)
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_guidance_changes_output(pipe):
+    labels = jnp.array([0])
+    key = jax.random.key(3)
+    plain = pipe.generate(labels, key, num_inference_steps=4)
+    guided = pipe.generate(
+        labels, key, num_inference_steps=4, guidance_factor=3.0
+    )
+    assert not np.allclose(np.asarray(plain), np.asarray(guided))
+
+
+def test_guidance_equations():
+    g_imagen = GuidanceConfig(1.0, "imagen")
+    assert not g_imagen.active  # imagen: active iff w > 1
+    assert GuidanceConfig(1.5, "imagen").active
+    assert GuidanceConfig(0.5, "cfg").active  # cfg: active iff w > 0
+    assert not GuidanceConfig(0.0, "cfg").active
+    cond, uncond = jnp.array([2.0]), jnp.array([1.0])
+    np.testing.assert_allclose(
+        np.asarray(GuidanceConfig(2.0, "imagen").combine(cond, uncond)), [3.0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(GuidanceConfig(2.0, "cfg").combine(cond, uncond)), [4.0]
+    )
+
+
+def test_per_sample_guidance_tensor(pipe):
+    labels = jnp.array([0, 0])
+    w = jnp.array([0.0, 5.0])
+    out = pipe.generate(
+        labels, jax.random.key(4), num_inference_steps=3, guidance_factor=w
+    )
+    assert out.shape[0] == 2
+    assert not np.allclose(np.asarray(out[0]), np.asarray(out[1]))
+
+
+def test_start_image_and_forward_noise(pipe):
+    labels = jnp.array([0])
+    img = jnp.zeros((1, 16, 16, 3))
+    # full trajectory from a clean image, no noise: deterministic
+    out = pipe.generate(
+        labels,
+        jax.random.key(5),
+        start_image=img,
+        num_inference_steps=3,
+        frac_diffusion_skipped=0.5,
+    )
+    assert out.shape == (1, 16, 16, 3)
+    noised = pipe.generate(
+        labels,
+        jax.random.key(5),
+        start_image=img,
+        add_forward_noise=True,
+        num_inference_steps=3,
+        frac_diffusion_skipped=0.5,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(noised))
+
+
+def test_inversion_regeneration_round_trip(pipe):
+    """DDIB identity check (the reference's `inverted_regeneration` method):
+    invert then regenerate with the same class; with enough steps the
+    reconstruction error must be small relative to signal."""
+    labels = jnp.array([0])
+    x = pipe.generate(labels, jax.random.key(6), num_inference_steps=50)
+    latent = pipe.invert(x, labels, num_inference_steps=50)
+    # latent should be roughly standard-normal scale, not collapsed
+    assert 0.2 < float(jnp.std(latent)) < 5.0
+    recon = pipe.generate(
+        labels, jax.random.key(7), start_image=latent, num_inference_steps=50
+    )
+    err = float(jnp.mean((recon - x) ** 2))
+    base = float(jnp.mean(x**2))
+    assert err < 0.05 * max(base, 1e-3), (err, base)
+
+
+def test_eta_requires_rng_noise(pipe):
+    labels = jnp.array([0])
+    out = pipe.generate(
+        labels, jax.random.key(8), num_inference_steps=3, eta=1.0
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_save_load_round_trip(pipe, tmp_path):
+    d = str(tmp_path / "pipe")
+    pipe.save_pretrained(d)
+    loaded = ConditionalDDIMPipeline.from_pretrained(d)
+    assert loaded.unet_config == pipe.unet_config
+    assert loaded.scheduler_config == pipe.scheduler_config
+    labels = jnp.array([1])
+    a = pipe.generate(labels, jax.random.key(9), num_inference_steps=2)
+    b = loaded.generate(labels, jax.random.key(9), num_inference_steps=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
