@@ -1,0 +1,122 @@
+"""Benchmark: img2img class transfers/sec/chip (the BASELINE.json metric).
+
+Measures the north-star workload — 50-step DDIM inversion + 50-step
+regeneration at 128px (one DDIB class transfer, 100 UNet forwards per
+image) on the super_small conditional UNet — on whatever accelerator JAX
+exposes (the driver runs this on one real TPU chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+``vs_baseline`` compares against an *estimated* A100 throughput for the
+reference implementation, since the reference publishes no numbers
+(BASELINE.md): we take the XLA-reported FLOPs of one transfer and assume
+the reference sustains 40% of A100's 312 TFLOP/s bf16 peak — a generous
+estimate for a torch eager/cuDNN diffusion loop (measured diffusers DDIM
+pipelines typically reach 20-35%).  The target in BASELINE.json is ≥5x.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Remote compiles over the tunnel take minutes; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+RES = int(os.environ.get("BENCH_RES", "128"))
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+A100_PEAK_FLOPS = 312e12
+A100_ASSUMED_UTILIZATION = 0.40
+
+
+def main():
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.models import CondUNet2D
+    from phendiff_tpu.models import config as C
+    from phendiff_tpu.pipelines import transfer as T
+
+    dev = jax.devices()[0]
+    cfg = C.super_small().replace(sample_size=RES)
+    model = CondUNet2D(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((BATCH, RES, RES, 3), dtype=jnp.float32)
+    params = model.init(
+        jax.random.key(0), x[:1], jnp.array([0]), class_labels=jnp.array([0])
+    )
+    schedule = make_schedule(
+        SchedulerConfig(num_train_timesteps=1000, timestep_spacing="trailing",
+                        clip_sample=False)
+    )
+
+    def denoiser(xx, t, class_emb):
+        return model.apply(params, xx, t, class_emb=class_emb)
+
+    table = params["params"]["class_embedding"]["embedding"]
+    src = jnp.tile(table[0][None], (BATCH, 1))
+    tgt = jnp.tile(table[1][None], (BATCH, 1))
+
+    @jax.jit
+    def transfer(images):
+        return T.ddib(
+            denoiser, schedule, images, src, tgt, num_inference_steps=STEPS
+        )
+
+    images = jax.random.normal(jax.random.key(1), (BATCH, RES, RES, 3)) * 0.5
+
+    t_c0 = time.perf_counter()
+    compiled = transfer.lower(images).compile()
+    print(f"# compile: {time.perf_counter() - t_c0:.1f}s", file=sys.stderr)
+
+    # Per-forward FLOPs from a single (non-scan) forward: XLA cost analysis
+    # reports a scan body once, so the scan program undercounts by STEPS.
+    single = jax.jit(
+        lambda xx: denoiser(xx, jnp.zeros((BATCH,), jnp.int32), src)
+    ).lower(images).compile()
+    cost = single.cost_analysis()
+    ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+    fwd_flops = ca.get("flops") if ca else None
+    # one transfer = STEPS inversion + STEPS generation forwards
+    flops_per_call = 2 * STEPS * fwd_flops if fwd_flops else None
+
+    # warmup run (reuse the compiled executable — do NOT re-trigger jit)
+    out = compiled(images)
+    out.block_until_ready()
+
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    transfers_per_sec = BATCH * iters / dt
+
+    vs_baseline = float("nan")
+    if flops_per_call:
+        flops_per_transfer = flops_per_call / BATCH
+        a100_est = (A100_PEAK_FLOPS * A100_ASSUMED_UTILIZATION) / flops_per_transfer
+        vs_baseline = transfers_per_sec / a100_est
+
+    result = {
+        "metric": f"img2img_transfers_per_sec_per_chip_{STEPS}step_{RES}px",
+        "value": round(transfers_per_sec, 3),
+        "unit": "transfers/s/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline == vs_baseline else None,
+        "batch": BATCH,
+        "device": str(dev),
+        "denoise_steps_per_sec": round(transfers_per_sec * 2 * STEPS, 1),
+        "flops_per_transfer": flops_per_call / BATCH if flops_per_call else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

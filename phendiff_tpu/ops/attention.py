@@ -18,6 +18,7 @@ reference sets ``upcast_attention=True`` for the SD-size config).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -28,6 +29,9 @@ Array = jax.Array
 # Sequence length above which the fused kernel pays off (128px latents → 256
 # tokens fit VMEM easily either way; the kernel matters at ≥1024 tokens).
 _PALLAS_MIN_SEQ = 1024
+
+# Global override: "auto" (default), "xla", or "pallas".
+_IMPL_ENV = "PHENDIFF_ATTN_IMPL"
 
 
 def _on_tpu() -> bool:
@@ -66,12 +70,16 @@ def multi_head_attention(
     implementation: None (auto) | "xla" | "pallas".
     """
     if implementation is None:
-        use_pallas = (
-            _on_tpu()
-            and q.shape[1] >= _PALLAS_MIN_SEQ
-            and q.shape[1] == k.shape[1]
-        )
-        implementation = "pallas" if use_pallas else "xla"
+        env = os.environ.get(_IMPL_ENV, "auto")
+        if env in ("xla", "pallas"):
+            implementation = env
+        else:
+            use_pallas = (
+                _on_tpu()
+                and q.shape[1] >= _PALLAS_MIN_SEQ
+                and q.shape[1] == k.shape[1]
+            )
+            implementation = "pallas" if use_pallas else "xla"
     if implementation == "xla":
         return attention_xla(q, k, v, scale=scale)
     if implementation == "pallas":
