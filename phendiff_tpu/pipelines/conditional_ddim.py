@@ -72,6 +72,22 @@ class GuidanceConfig:
         return cond + w * (cond - uncond)
 
 
+def truncate_pairs_by_strength(ts, t_prev, strength: float):
+    """Keep only the last ``int(strength * n)`` steps — SD ``strength``
+    semantics (reference ``get_timesteps``,
+    custom_pipeline_stable_diffusion_img2img.py:375-382): truncation by
+    *count*, unlike ``frac_diffusion_skipped`` which filters by timestep
+    value."""
+    if not 0.0 <= strength <= 1.0:
+        raise ValueError("strength must be in [0, 1]")
+    n = len(ts)
+    init_timestep = min(int(n * strength), n)
+    if init_timestep == 0:
+        raise ValueError("strength too small: no denoising steps left")
+    start = max(n - init_timestep, 0)
+    return ts[start:], t_prev[start:]
+
+
 def _scan_pairs(ts: np.ndarray, t_prev: np.ndarray) -> Array:
     return jnp.stack(
         [jnp.asarray(ts, dtype=jnp.int32), jnp.asarray(t_prev, dtype=jnp.int32)],
@@ -90,6 +106,7 @@ def ddim_sample(
     add_forward_noise: bool = False,
     num_inference_steps: int = DEFAULT_NUM_INFERENCE_STEPS,
     frac_diffusion_skipped: float = 0.0,
+    strength: Optional[float] = None,
     guidance: GuidanceConfig = GuidanceConfig(),
     eta: float = 0.0,
     uncond_emb: Optional[Array] = None,
@@ -111,6 +128,8 @@ def ddim_sample(
     ts, t_prev = S.timestep_pairs(
         schedule.config, num_inference_steps, frac_diffusion_skipped
     )
+    if strength is not None:
+        ts, t_prev = truncate_pairs_by_strength(ts, t_prev, strength)
 
     if add_forward_noise:
         if rng is None:
