@@ -93,8 +93,13 @@ def make_lr_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     raise ValueError(f"unknown lr_scheduler: {cfg.lr_scheduler}")
 
 
-def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
-    return optax.chain(
+def make_optimizer(
+    cfg: OptimizerConfig, trainable_mask=None
+) -> optax.GradientTransformation:
+    """AdamW with global-norm clipping.  ``trainable_mask`` (a pytree or a
+    pytree-returning callable of bools) freezes components — the reference's
+    ``components_to_train`` + requires_grad freezing (``train.py:188-220``)."""
+    opt = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             learning_rate=make_lr_schedule(cfg),
@@ -103,6 +108,16 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
         ),
+    )
+    if trainable_mask is None:
+        return opt
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask)
+        if not callable(trainable_mask)
+        else (lambda p: jax.tree.map(
+            lambda t: "train" if t else "freeze", trainable_mask(p)
+        )),
     )
 
 
@@ -167,14 +182,19 @@ def diffusion_loss(
 
 def make_train_step(
     model_apply: Callable,  # (params, x, t, class_emb) -> model_out
-    embed_fn: Callable,  # (params, labels) -> class_emb (rows of the table)
+    embed_fn: Callable,  # (params, labels) -> class_emb (any cond shape)
     schedule: S.NoiseSchedule,
     config: TrainConfig,
     optimizer: Optional[optax.GradientTransformation] = None,
+    encode_fn: Optional[Callable] = None,  # (images, rng) -> clean targets
 ):
     """Build the pure train-step function; jit it with shardings at the call
     site (see ``Trainer``).  Signature:
         step(state, batch=(images, labels), rng) -> (state, metrics)
+
+    ``encode_fn`` maps pixel batches to the diffusion space — identity for
+    the pixel DDIM family, frozen-VAE encode × scaling for the SD family
+    (reference ``utils_training.py:237-241``).
     """
     opt = optimizer or make_optimizer(config.optimizer)
     lr_sched = make_lr_schedule(config.optimizer)
@@ -182,7 +202,8 @@ def make_train_step(
     def train_step(state: TrainState, batch: Tuple[Array, Array], rng: Array):
         images, labels = batch
         rng = jax.random.fold_in(rng, state.step)
-        k_flip, k_loss = jax.random.split(rng)
+        k_flip, k_enc, k_loss = jax.random.split(rng, 3)
+        clean = encode_fn(images, k_enc) if encode_fn is not None else images
 
         def loss_fn(params):
             class_emb = embed_fn(params, labels)
@@ -191,7 +212,7 @@ def make_train_step(
                 uncond = jax.random.bernoulli(k_flip, config.proba_uncond)
                 class_emb = class_emb * (1.0 - uncond.astype(class_emb.dtype))
             return diffusion_loss(
-                model_apply, params, schedule, images, class_emb, k_loss
+                model_apply, params, schedule, clean, class_emb, k_loss
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

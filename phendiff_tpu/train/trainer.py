@@ -1,0 +1,381 @@
+"""Training orchestrator: run-dir layout, epoch loop, eval cadence, resume,
+best-model persistence.
+
+Capability parity with the reference's ``train.py`` main loop +
+``utils_training.py`` engine + ``utils_misc.create_repo_structure``:
+
+* run-dir layout ``exp_parent/experiment/run/{checkpoints, full_pipeline_save}``
+  with a shared ``.fidelity_cache`` at the parent (``utils_misc.py:197-275``);
+* epoch loop with per-epoch or per-optimization-step eval cadence
+  (``train.py:367-432``, ``utils_training.py:338-361``);
+* checkpoint every ``checkpointing_steps`` with rotation, resume from
+  "latest" with exact skip of consumed batches (``utils_training.py:57-96``);
+* EMA-weighted best-model ``save_pretrained`` gated on the mean per-class
+  main metric; never overwrites a populated save at run start
+  (``utils_training.py:1004-1061``);
+* NaN loss / grad-norm alerts (``utils_training.py:328-336,441-449``);
+* lr × sqrt(data-parallel size) scaling (``train.py:268-285``).
+
+Both model families plug in through three callables (model_apply /
+embed_fn / encode_fn) built by ``for_ddim_pipeline`` / ``for_sd_pipeline``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phendiff_tpu.core.precision import Policy
+from phendiff_tpu.data.imagefolder import (
+    DatasetIndex,
+    ImageFolderLoader,
+    LoaderConfig,
+    balanced_subsample,
+    scan_imagefolder,
+)
+from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+from phendiff_tpu.obs.trackers import Tracker, make_tracker
+from phendiff_tpu.parallel import make_mesh, replicated, shard_batch
+from phendiff_tpu.pipelines.ddim_pipeline import ConditionalDDIMPipeline
+from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
+from phendiff_tpu.train.checkpoints import CheckpointManager
+from phendiff_tpu.train.eval_loop import (
+    EvalConfig,
+    Evaluator,
+    get_initial_best_metric,
+    is_it_best_model,
+)
+from phendiff_tpu.train.train_loop import (
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class RunPaths:
+    """Run directory layout (reference docstring utils_misc.py:197-213)."""
+
+    run_dir: str
+    checkpoints: str
+    full_pipeline_save: str
+    fidelity_cache: str
+
+    @classmethod
+    def create(cls, exp_parent: str, experiment: str, run_name: str) -> "RunPaths":
+        run_dir = os.path.join(exp_parent, experiment, run_name)
+        paths = cls(
+            run_dir=run_dir,
+            checkpoints=os.path.join(run_dir, "checkpoints"),
+            full_pipeline_save=os.path.join(run_dir, "full_pipeline_save"),
+            fidelity_cache=os.path.join(exp_parent, ".fidelity_cache"),
+        )
+        for p in (paths.run_dir, paths.checkpoints, paths.fidelity_cache):
+            os.makedirs(p, exist_ok=True)
+        return paths
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    # data (reference args: train_data_dir, definition, perc_samples, ...)
+    train_data_dir: str = ""
+    definition: Tuple[int, int] = (128, 128)
+    perc_samples: float = 100.0
+    seed: int = 0
+    data_aug_on_the_fly: bool = True
+    train_batch_size: int = 16
+    # run control
+    num_epochs: int = 10
+    max_train_steps: Optional[int] = None
+    eval_every_epochs: Optional[int] = 1
+    eval_every_opti_steps: Optional[int] = None
+    checkpointing_steps: int = 1000
+    checkpoints_total_limit: Optional[int] = None
+    resume_from_checkpoint: Optional[str] = None  # "latest" or a step number
+    mixed_precision: str = "bf16"
+    compute_metrics: bool = True
+    # engine configs
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    tracker: str = "jsonl"
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainerConfig,
+        paths: RunPaths,
+        *,
+        model_apply: Callable,
+        embed_fn: Callable,
+        trainable_params: dict,
+        schedule,
+        generate_fn_builder: Callable,  # (state) -> generate_fn for eval
+        save_pipeline_fn: Callable,  # (state, dirpath) -> None
+        encode_fn: Optional[Callable] = None,
+        tracker: Optional[Tracker] = None,
+        devices=None,
+        trainable_mask=None,
+    ):
+        self.config = config
+        self.paths = paths
+        self.mesh = make_mesh(devices)
+        dp_size = int(self.mesh.devices.size)
+
+        # lr × sqrt(world size), as the reference does across DDP ranks
+        opt_cfg = dataclasses.replace(
+            config.train.optimizer, lr_scale=math.sqrt(dp_size)
+        )
+        self.train_cfg = dataclasses.replace(config.train, optimizer=opt_cfg)
+
+        self.optimizer = make_optimizer(opt_cfg, trainable_mask)
+        self.schedule = schedule
+        self._step_fn = jax.jit(
+            make_train_step(
+                model_apply, embed_fn, schedule, self.train_cfg,
+                self.optimizer, encode_fn,
+            )
+        )
+        self.state = jax.device_put(
+            init_train_state(trainable_params, self.optimizer),
+            replicated(self.mesh),
+        )
+        self.ckpt = CheckpointManager(
+            self.paths.checkpoints, config.checkpoints_total_limit
+        )
+        self.tracker = tracker or make_tracker(config.tracker, paths.run_dir)
+        self.generate_fn_builder = generate_fn_builder
+        self.save_pipeline_fn = save_pipeline_fn
+        self.best_metric = get_initial_best_metric()
+
+        # data
+        index = scan_imagefolder(config.train_data_dir)
+        if config.perc_samples < 100:
+            index = balanced_subsample(index, config.perc_samples, config.seed)
+        self.index = index
+        self.loader = ImageFolderLoader(
+            index,
+            LoaderConfig(
+                batch_size=config.train_batch_size,
+                definition=config.definition,
+                random_flip=config.data_aug_on_the_fly,
+                seed=config.seed,
+            ),
+        )
+        self.evaluator = None
+        if config.compute_metrics:
+            self.evaluator = Evaluator(
+                config.eval,
+                index,
+                config.definition,
+                cache_root=self.paths.fidelity_cache,
+            )
+
+    # -- resume ------------------------------------------------------------
+    def maybe_resume(self) -> Tuple[int, int]:
+        """Returns (first_epoch, batches_to_skip_in_first_epoch)."""
+        cfg = self.config
+        if cfg.resume_from_checkpoint is None:
+            return 0, 0
+        step = (
+            None
+            if cfg.resume_from_checkpoint == "latest"
+            else int(cfg.resume_from_checkpoint)
+        )
+        self.state = self.ckpt.restore(self.state, step)
+        global_step = int(self.state.step)
+        steps_per_epoch = len(self.loader)
+        first_epoch = global_step // steps_per_epoch
+        resume_step = global_step % steps_per_epoch
+        return first_epoch, resume_step
+
+    # -- eval + best-model -------------------------------------------------
+    def _run_eval(self, global_step: int):
+        generate_fn = self.generate_fn_builder(self.state)
+        if self.evaluator is not None:
+            metrics = self.evaluator.evaluate(
+                generate_fn, global_step, tracker=self.tracker
+            )
+            mean_main = metrics.get("main_metric_mean")
+        else:
+            mean_main = None
+        save_dir = self.paths.full_pipeline_save
+        populated = os.path.isdir(save_dir) and bool(os.listdir(save_dir))
+        if mean_main is None:
+            if not populated:
+                self.save_pipeline_fn(self.state, save_dir)
+        elif is_it_best_model(mean_main, self.best_metric):
+            self.best_metric = mean_main
+            self.save_pipeline_fn(self.state, save_dir)
+
+    # -- main loop -----------------------------------------------------------
+    def run(self) -> TrainState:
+        cfg = self.config
+        first_epoch, skip = self.maybe_resume()
+        global_step = int(self.state.step)
+        root_key = jax.random.key(cfg.seed)
+        done = False
+
+        for epoch in range(first_epoch, cfg.num_epochs):
+            skip_batches = skip if epoch == first_epoch else 0
+            for images, labels in self.loader.epoch(epoch, skip_batches):
+                batch = shard_batch(self.mesh, (images, labels))
+                self.state, metrics = self._step_fn(self.state, batch, root_key)
+                global_step += 1
+
+                host = {k: float(v) for k, v in metrics.items()}
+                host["epoch"] = epoch
+                self.tracker.log(host, global_step)
+                if host.get("nonfinite"):
+                    self.tracker.alert(
+                        "NaN", f"non-finite loss/grad at step {global_step}"
+                    )
+
+                if global_step % cfg.checkpointing_steps == 0:
+                    self.ckpt.save(global_step, self.state)
+                if (
+                    cfg.eval_every_opti_steps
+                    and global_step % cfg.eval_every_opti_steps == 0
+                ):
+                    self._run_eval(global_step)
+                if cfg.max_train_steps and global_step >= cfg.max_train_steps:
+                    done = True
+                    break
+            if cfg.eval_every_epochs and (epoch + 1) % cfg.eval_every_epochs == 0:
+                self._run_eval(global_step)
+            if done:
+                break
+        self.ckpt.save(global_step, self.state)
+        return self.state
+
+
+# ---------------------------------------------------------------------------
+# Model-family adapters
+# ---------------------------------------------------------------------------
+
+
+def for_ddim_pipeline(
+    pipe: ConditionalDDIMPipeline, config: TrainerConfig, paths: RunPaths,
+    **kw,
+) -> Trainer:
+    policy = Policy.from_mixed_precision(config.mixed_precision)
+    from phendiff_tpu.models.unet2d import CondUNet2D
+
+    model = CondUNet2D(pipe.unet_config, dtype=policy.compute_jnp)
+
+    def model_apply(params, x, t, class_emb):
+        return model.apply(params, x, t, class_emb=class_emb)
+
+    def embed_fn(params, labels):
+        return params["params"]["class_embedding"]["embedding"][labels]
+
+    def generate_fn_builder(state: TrainState):
+        ema = pipe.replace_params(state.ema_params)
+
+        def generate(labels, rng, num_inference_steps):
+            return ema.generate(
+                labels, rng, num_inference_steps=num_inference_steps
+            )
+
+        return generate
+
+    def save_pipeline_fn(state: TrainState, dirpath: str):
+        pipe.replace_params(
+            jax.tree.map(np.asarray, state.ema_params)
+        ).save_pretrained(dirpath)
+
+    return Trainer(
+        config, paths,
+        model_apply=model_apply,
+        embed_fn=embed_fn,
+        trainable_params=pipe.params,
+        schedule=pipe.schedule,
+        generate_fn_builder=generate_fn_builder,
+        save_pipeline_fn=save_pipeline_fn,
+        **kw,
+    )
+
+
+def for_sd_pipeline(
+    pipe: SDImg2ImgPipeline, config: TrainerConfig, paths: RunPaths,
+    components_to_train=("denoiser", "class_embedding"),
+    **kw,
+) -> Trainer:
+    """SD fine-tune: UNet + class embedding trained over a FROZEN VAE
+    (reference train path, SURVEY.md §2a 'Training CLI' row)."""
+    policy = Policy.from_mixed_precision(config.mixed_precision)
+    from phendiff_tpu.models.sd_unet import SDUNet
+
+    unet = SDUNet(pipe.unet_config, dtype=policy.compute_jnp)
+    vae_params = pipe.vae_params  # frozen, closed over
+
+    params = {
+        "unet": pipe.unet_params,
+        "class_embedding": pipe.class_embedding_params,
+    }
+
+    def model_apply(p, x, t, class_seq):
+        return unet.apply(p["unet"], x, t, class_seq)
+
+    def embed_fn(p, labels):
+        emb = p["class_embedding"]["params"]["embedding"]["embedding"][labels]
+        return pad_to_clip_sequence(emb)
+
+    def encode_fn(images, rng):
+        from phendiff_tpu.models.autoencoder_kl import encode_to_latents
+
+        return encode_to_latents(pipe.vae, vae_params, images, rng)
+
+    def generate_fn_builder(state: TrainState):
+        ema = pipe.replace_params(
+            unet_params=state.ema_params["unet"],
+            class_embedding_params=state.ema_params["class_embedding"],
+        )
+
+        def generate(labels, rng, num_inference_steps):
+            return ema.generate(
+                labels, rng, num_inference_steps=num_inference_steps
+            )
+
+        return generate
+
+    def save_pipeline_fn(state: TrainState, dirpath: str):
+        pipe.replace_params(
+            unet_params=jax.tree.map(np.asarray, state.ema_params["unet"]),
+            class_embedding_params=jax.tree.map(
+                np.asarray, state.ema_params["class_embedding"]
+            ),
+        ).save_pretrained(dirpath)
+
+    # components_to_train → per-component freeze mask (reference naming:
+    # "denoiser" → unet, "class_embedding" → class embedding; the VAE is
+    # structurally frozen here — it is not in the trainable tree at all)
+    component_of = {"denoiser": "unet", "class_embedding": "class_embedding"}
+    active = {component_of[c] for c in components_to_train}
+    mask = {
+        name: jax.tree.map(lambda _: name in active, sub)
+        for name, sub in params.items()
+    }
+
+    return Trainer(
+        config, paths,
+        model_apply=model_apply,
+        embed_fn=embed_fn,
+        trainable_params=params,
+        schedule=pipe.schedule,
+        generate_fn_builder=generate_fn_builder,
+        save_pipeline_fn=save_pipeline_fn,
+        encode_fn=encode_fn,
+        trainable_mask=mask,
+        **kw,
+    )

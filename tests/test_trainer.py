@@ -1,0 +1,178 @@
+"""End-to-end Trainer tests: the minimum end-to-end slice of SURVEY.md §7
+(tiny conditional DDIM on the tiny imagefolder, data-parallel on the
+8-device CPU mesh), plus resume and SD fine-tune paths."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phendiff_tpu.core import SchedulerConfig
+from phendiff_tpu.metrics.fidelity import MetricsConfig
+from phendiff_tpu.models import UNet2DConfig
+from phendiff_tpu.models.autoencoder_kl import AutoencoderKLConfig
+from phendiff_tpu.models.sd_unet import SDUNetConfig
+from phendiff_tpu.pipelines import ConditionalDDIMPipeline
+from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
+from phendiff_tpu.train.eval_loop import EvalConfig
+from phendiff_tpu.train.train_loop import OptimizerConfig, TrainConfig
+from phendiff_tpu.train.trainer import (
+    RunPaths,
+    TrainerConfig,
+    for_ddim_pipeline,
+    for_sd_pipeline,
+)
+
+TINY_UNET = UNet2DConfig(
+    sample_size=16,
+    block_out_channels=(8, 8),
+    down_block_types=("DownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    num_class_embeds=2,
+)
+SCHED = SchedulerConfig(num_train_timesteps=20, clip_sample=False)
+
+
+def make_config(data_dir, tmp, **overrides):
+    base = dict(
+        train_data_dir=str(data_dir),
+        definition=(16, 16),
+        train_batch_size=8,
+        num_epochs=2,
+        eval_every_epochs=None,
+        checkpointing_steps=2,
+        mixed_precision="no",
+        compute_metrics=False,
+        train=TrainConfig(
+            proba_uncond=0.1,
+            optimizer=OptimizerConfig(learning_rate=1e-3, total_steps=50),
+        ),
+        eval=EvalConfig(
+            nb_generated_images=4, eval_batch_size=4, num_inference_steps=2,
+            metrics=MetricsConfig(fid=True, isc=False, kid=False),
+        ),
+        tracker="jsonl",
+    )
+    base.update(overrides)
+    return TrainerConfig(**base)
+
+
+@pytest.fixture
+def paths(tmp_path):
+    return RunPaths.create(str(tmp_path), "exp", "run0")
+
+
+def test_run_paths_layout(tmp_path):
+    p = RunPaths.create(str(tmp_path), "exp", "run1")
+    assert os.path.isdir(p.checkpoints)
+    assert os.path.isdir(p.fidelity_cache)
+    assert p.fidelity_cache == os.path.join(str(tmp_path), ".fidelity_cache")
+
+
+def test_ddim_training_runs_and_checkpoints(tiny_image_root, paths):
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(tiny_image_root, paths)
+    trainer = for_ddim_pipeline(pipe, cfg, paths)
+    assert len(trainer.loader) == 4  # 32 imgs / batch 8
+    state = trainer.run()
+    assert int(state.step) == 8  # 2 epochs x 4 batches
+    assert trainer.ckpt.latest_step() == 8
+    # metrics were logged
+    with open(os.path.join(paths.run_dir, "metrics.jsonl")) as f:
+        lines = f.readlines()
+    assert len(lines) >= 8
+
+
+def test_ddim_resume_continues(tiny_image_root, paths):
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    t1 = for_ddim_pipeline(pipe, cfg, paths)
+    t1.run()  # 4 steps
+
+    cfg2 = make_config(
+        tiny_image_root, paths, num_epochs=2, resume_from_checkpoint="latest"
+    )
+    t2 = for_ddim_pipeline(pipe, cfg2, paths)
+    first_epoch, skip = t2.maybe_resume()
+    assert first_epoch == 1 and skip == 0
+    assert int(t2.state.step) == 4
+    state = t2.run()
+    assert int(state.step) == 8
+
+
+def test_ddim_eval_and_best_model_save(tiny_image_root, paths):
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(
+        tiny_image_root, paths, num_epochs=1, eval_every_epochs=1,
+        compute_metrics=True,
+    )
+    trainer = for_ddim_pipeline(pipe, cfg, paths)
+    trainer.run()
+    # best pipeline was saved in diffusers layout
+    assert os.path.exists(
+        os.path.join(paths.full_pipeline_save, "model_index.json")
+    )
+    reloaded = ConditionalDDIMPipeline.from_pretrained(paths.full_pipeline_save)
+    assert reloaded.unet_config == TINY_UNET
+    # reference features were cached per class name
+    cached = os.listdir(paths.fidelity_cache)
+    assert any("DMSO" in c for c in cached)
+    assert trainer.best_metric < float("inf")
+
+
+TINY_SD = SDUNetConfig(
+    sample_size=4,
+    block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    cross_attention_dim=16,
+    attention_head_dim=(2, 4),
+    norm_num_groups=4,
+)
+TINY_VAE = AutoencoderKLConfig(
+    block_out_channels=(8, 16, 16), layers_per_block=1, norm_num_groups=4,
+    latent_channels=4, sample_size=16,
+)
+
+
+def test_sd_finetune_frozen_vae(tiny_image_root, paths):
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    vae_before = jax.tree.leaves(pipe.vae_params)[0].copy()
+    unet_before = np.asarray(jax.tree.leaves(pipe.unet_params)[0]).copy()
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    trainer = for_sd_pipeline(pipe, cfg, paths)
+    state = trainer.run()
+    assert int(state.step) == 4
+    # unet moved, vae untouched (frozen by construction)
+    unet_after = np.asarray(jax.tree.leaves(state.params["unet"])[0])
+    assert not np.allclose(unet_before, unet_after)
+    np.testing.assert_array_equal(
+        np.asarray(vae_before), np.asarray(jax.tree.leaves(pipe.vae_params)[0])
+    )
+
+
+def test_sd_finetune_class_embedding_only(tiny_image_root, paths):
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    unet_before = np.asarray(jax.tree.leaves(pipe.unet_params)[0]).copy()
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    trainer = for_sd_pipeline(
+        pipe, cfg, paths, components_to_train=("class_embedding",)
+    )
+    state = trainer.run()
+    unet_after = np.asarray(jax.tree.leaves(state.params["unet"])[0])
+    np.testing.assert_array_equal(unet_before, unet_after)  # frozen
+    ce_b = np.asarray(
+        jax.tree.leaves(pipe.class_embedding_params)[0]
+    )
+    ce_a = np.asarray(jax.tree.leaves(state.params["class_embedding"])[0])
+    assert not np.allclose(ce_b, ce_a)  # trained
