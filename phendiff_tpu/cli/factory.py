@@ -1,0 +1,92 @@
+"""Model/pipeline factory — dispatch on (model_type × pretrained-or-config).
+
+Capability parity with the reference's ``load_initial_pipeline``
+(``src/utils_models.py:24-245``):
+
+* DDIM from a pretrained pipeline folder, or from JSON denoiser/scheduler
+  configs (``:125-182``);
+* StableDiffusion from a pretrained folder (``:67-122``);
+* noise-scheduler config precedence: command-line kwargs >
+  ``noise_scheduler_config_path`` JSON > pretrained config (``:186-245``);
+* ``sample_size`` always overridden to the requested definition (``:113,
+  150, 167``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from phendiff_tpu.core.scheduler import SchedulerConfig
+from phendiff_tpu.models.config import UNet2DConfig
+from phendiff_tpu.pipelines.ddim_pipeline import ConditionalDDIMPipeline
+from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
+
+SCHEDULER_CL_OVERRIDES = (
+    "prediction_type",
+    "num_train_timesteps",
+    "beta_start",
+    "beta_end",
+    "beta_schedule",
+)
+
+
+def override_scheduler_config(
+    base: SchedulerConfig, args=None, config_path: Optional[str] = None
+) -> SchedulerConfig:
+    """Apply the reference's precedence: CL kwargs > JSON file > base."""
+    cfg = base
+    if config_path:
+        cfg = SchedulerConfig.from_json(config_path)
+    if args is not None:
+        overrides = {
+            k: getattr(args, k)
+            for k in SCHEDULER_CL_OVERRIDES
+            if getattr(args, k, None) is not None
+        }
+        if overrides:
+            cfg = cfg.replace(**overrides)
+    return cfg
+
+
+def load_initial_pipeline(args, dtype=jnp.float32):
+    """Build the starting pipeline from parsed CLI args."""
+    definition = args.definition[0]
+    if args.model_type == "DDIM":
+        if args.pretrained_model_name_or_path:
+            pipe = ConditionalDDIMPipeline.from_pretrained(
+                args.pretrained_model_name_or_path, dtype=dtype
+            )
+            unet_cfg = pipe.unet_config.replace(sample_size=definition)
+            sched_cfg = override_scheduler_config(
+                pipe.scheduler_config, args, args.noise_scheduler_config_path
+            )
+            return ConditionalDDIMPipeline(
+                unet_cfg, sched_cfg, pipe.params, dtype=dtype
+            )
+        unet_cfg = UNet2DConfig.from_json(args.denoiser_config_path).replace(
+            sample_size=definition
+        )
+        sched_cfg = override_scheduler_config(
+            SchedulerConfig(), args, args.noise_scheduler_config_path
+        )
+        return ConditionalDDIMPipeline.init_random(
+            unet_cfg, sched_cfg, seed=args.seed, dtype=dtype
+        )
+
+    if args.model_type == "StableDiffusion":
+        pipe = SDImg2ImgPipeline.from_pretrained(
+            args.pretrained_model_name_or_path, dtype=dtype
+        )
+        # latent-space sample size = pixel definition / VAE downscale (8)
+        unet_cfg = pipe.unet_config.replace(sample_size=definition // 8)
+        sched_cfg = override_scheduler_config(
+            pipe.scheduler_config, args, args.noise_scheduler_config_path
+        )
+        return SDImg2ImgPipeline(
+            unet_cfg, pipe.vae_config, sched_cfg, pipe.num_classes,
+            pipe.class_embedding_dim, pipe.unet_params, pipe.vae_params,
+            pipe.class_embedding_params, dtype=dtype,
+        )
+    raise ValueError(f"unknown model_type: {args.model_type}")

@@ -1,0 +1,133 @@
+"""``python -m phendiff_tpu.cli.train_cli`` — the training entry point.
+
+Capability parity with the reference's ``train.py`` orchestration
+(``train.py:49-439``): parse args → validate → debug downscaling → run-dir
+structure → pipeline factory → trainer → epoch loop with eval/checkpoints.
+Single process drives the whole TPU mesh (no ``accelerate launch``).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+
+from phendiff_tpu.cli.args import (
+    MAIN_METRIC_NAMES,
+    build_parser,
+    check_args,
+    modify_args_for_debug,
+)
+from phendiff_tpu.cli.factory import load_initial_pipeline
+from phendiff_tpu.core.precision import Policy
+from phendiff_tpu.metrics.fidelity import MetricsConfig
+from phendiff_tpu.pipelines.ddim_pipeline import ConditionalDDIMPipeline
+from phendiff_tpu.train.ema import EMAConfig
+from phendiff_tpu.train.eval_loop import EvalConfig
+from phendiff_tpu.train.train_loop import OptimizerConfig, TrainConfig
+from phendiff_tpu.train.trainer import (
+    RunPaths,
+    TrainerConfig,
+    for_ddim_pipeline,
+    for_sd_pipeline,
+)
+
+
+def banner(args, warnings):
+    """Run-start summary (compact version of the reference's pretty banner,
+    utils_misc.py:394-592)."""
+    print("=" * 70)
+    print(f" phendiff-tpu train :: {args.run_name}")
+    print(f"   model_type={args.model_type} components={args.components_to_train}")
+    print(f"   data={args.train_data_dir} definition={args.definition} "
+          f"perc={args.perc_samples}%")
+    print(f"   batch={args.train_batch_size} epochs={args.num_epochs} "
+          f"lr={args.learning_rate} precision={args.mixed_precision}")
+    print(f"   devices={jax.device_count()} ({jax.devices()[0].platform})")
+    for w in warnings:
+        print(f"   WARNING: {w}")
+    print("=" * 70)
+
+
+def trainer_config_from_args(args) -> TrainerConfig:
+    return TrainerConfig(
+        train_data_dir=args.train_data_dir,
+        definition=tuple(args.definition),
+        perc_samples=args.perc_samples,
+        seed=args.seed,
+        data_aug_on_the_fly=args.data_aug_on_the_fly,
+        train_batch_size=args.train_batch_size,
+        num_epochs=args.num_epochs,
+        max_train_steps=args.max_num_steps,
+        eval_every_epochs=args.eval_save_model_every_epochs,
+        eval_every_opti_steps=args.eval_save_model_every_opti_steps,
+        checkpointing_steps=args.checkpointing_steps,
+        checkpoints_total_limit=args.checkpoints_total_limit,
+        resume_from_checkpoint=args.resume_from_checkpoint,
+        mixed_precision=args.mixed_precision,
+        compute_metrics=args.compute_fid or args.compute_isc or args.compute_kid,
+        train=TrainConfig(
+            proba_uncond=args.proba_uncond,
+            ema=EMAConfig(
+                inv_gamma=args.ema_inv_gamma,
+                power=args.ema_power,
+                max_decay=args.ema_max_decay,
+            ),
+            optimizer=OptimizerConfig(
+                learning_rate=args.learning_rate,
+                adam_beta1=args.adam_beta1,
+                adam_beta2=args.adam_beta2,
+                adam_weight_decay=args.adam_weight_decay,
+                adam_epsilon=args.adam_epsilon,
+                max_grad_norm=args.max_grad_norm,
+                lr_scheduler=args.lr_scheduler,
+                lr_warmup_steps=args.lr_warmup_steps,
+                total_steps=args.max_num_steps or 100_000,
+            ),
+        ),
+        eval=EvalConfig(
+            nb_generated_images=args.nb_generated_images,
+            eval_batch_size=args.eval_batch_size,
+            num_inference_steps=args.num_inference_steps,
+            main_metric=MAIN_METRIC_NAMES[args.main_metric],
+            metrics=MetricsConfig(
+                fid=args.compute_fid,
+                isc=args.compute_isc,
+                kid=args.compute_kid,
+                kid_subset_size=args.kid_subset_size,
+            ),
+            unconditional=args.proba_uncond >= 1.0,
+        ),
+        tracker=args.tracker,
+    )
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    warnings = check_args(args)
+    if args.debug:
+        modify_args_for_debug(args)
+        check_args(args)
+    banner(args, warnings)
+
+    policy = Policy.from_mixed_precision(args.mixed_precision)
+    pipeline = load_initial_pipeline(args, dtype=policy.compute_jnp)
+    paths = RunPaths.create(
+        args.exp_output_dirs_parent_folder, args.project, args.run_name
+    )
+    config = trainer_config_from_args(args)
+    if isinstance(pipeline, ConditionalDDIMPipeline):
+        trainer = for_ddim_pipeline(pipeline, config, paths)
+    else:
+        trainer = for_sd_pipeline(
+            pipeline, config, paths,
+            components_to_train=tuple(args.components_to_train),
+        )
+    state = trainer.run()
+    print(f"done: {int(state.step)} steps; best {config.eval.main_metric} = "
+          f"{trainer.best_metric}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

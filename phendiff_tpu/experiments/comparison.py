@@ -1,0 +1,290 @@
+"""Img2img class-transfer comparison experiment engine.
+
+Capability parity with the reference's experiment driver
+(``img2img_comparison.py:54-155`` + ``utils_Img2Img.py:190-563``):
+
+* loads train/test imagefolder splits with file basenames kept for output
+  naming (``load_datasets``, ``utils_Img2Img.py:190-242``);
+* loads named pipelines from pretrained folders (Hydra ``call(cfg.pipeline)``
+  → here a plain config dict);
+* loops methods × pipelines × splits × batches, with the binary-class
+  assumption ``target = 1 - orig`` (``:343-344``);
+* saves outputs as ``output_dir/method/pipe/split/target_class/
+  <basename>_to_<target_class>.png`` (``:281-291, 390-400``);
+* debug mode stops after one batch (``DEBUG_BATCHES_LIMIT``, ``:46``);
+* ``compute_metrics``: pooled FID/ISC/KID of all transfers vs the whole
+  true split, then per-target-class vs that class's folder; KID
+  auto-disabled when too few samples; optional flat ``sweep_metric``
+  re-log (``:462-563``).
+
+TPU-native notes: each (pipeline, method) pair jits ONE transfer function
+reused across batches/splits; batches ride the data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from functools import partial
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phendiff_tpu.data.imagefolder import (
+    DatasetIndex,
+    ImageFolderLoader,
+    LoaderConfig,
+    scan_imagefolder,
+)
+from phendiff_tpu.metrics.fidelity import MetricsConfig, calculate_metrics
+from phendiff_tpu.metrics.inception import InceptionExtractor
+from phendiff_tpu.pipelines import transfer as T
+from phendiff_tpu.pipelines.conditional_ddim import to_images
+from phendiff_tpu.pipelines.ddim_pipeline import ConditionalDDIMPipeline
+from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
+
+METHODS = T.TRANSFER_METHODS
+
+
+@dataclasses.dataclass
+class MethodParams:
+    """Per-method knobs (the reference's class_transfer_method config group)."""
+
+    guidance_scale: float = 2.5
+    frac_diffusion_skipped: float = 0.5
+    guidance_loss_scale: float = 1e-3
+    p: float = 2.0
+    batch_size: int = 16
+
+
+@dataclasses.dataclass
+class ComparisonConfig:
+    output_dir: str = "comparison_out"
+    pipelines: Dict[str, str] = dataclasses.field(default_factory=dict)  # name → folder
+    dataset_train: str = ""
+    dataset_test: Optional[str] = None
+    definition: Tuple[int, int] = (128, 128)
+    methods: Tuple[str, ...] = ("ddib",)
+    method_params: Dict[str, MethodParams] = dataclasses.field(default_factory=dict)
+    num_inference_steps: int = 100
+    metrics: MetricsConfig = dataclasses.field(
+        default_factory=lambda: MetricsConfig(fid=True, isc=True, kid=True)
+    )
+    sweep_metric: Optional[str] = None  # "method/pipe/split/metric"
+    debug: bool = False
+    seed: int = 0
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ComparisonConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f)
+        mp = {
+            k: MethodParams(**v) for k, v in (raw.pop("method_params", {}) or {}).items()
+        }
+        metrics = MetricsConfig(**raw.pop("metrics", {}))
+        for key in ("definition", "methods"):
+            if key in raw and isinstance(raw[key], list):
+                raw[key] = tuple(raw[key])
+        return cls(method_params=mp, metrics=metrics, **raw)
+
+
+def _make_transfer_fn(pipe, method: str, params: MethodParams, steps: int):
+    """One jitted function (images, src_labels, tgt_labels, rng) → images."""
+    is_sd = isinstance(pipe, SDImg2ImgPipeline)
+
+    if is_sd:
+        denoiser = pipe.denoiser_fn()
+        schedule = pipe.schedule
+        embed = pipe.encode_class
+    else:
+        denoiser = pipe.denoiser_fn()
+        schedule = pipe.schedule
+        embed = pipe.class_embeddings
+
+    def core(images, src_labels, tgt_labels, rng):
+        x = pipe.encode_images(images) if is_sd else images
+        src_emb = embed(src_labels)
+        tgt_emb = embed(tgt_labels)
+        if method == "ddib":
+            out = T.ddib(denoiser, schedule, x, src_emb, tgt_emb,
+                         num_inference_steps=steps)
+        elif method == "inverted_regeneration":
+            out = T.inverted_regeneration(denoiser, schedule, x, src_emb,
+                                          num_inference_steps=steps)
+        elif method == "classifier_free_guidance_forward_start":
+            out = T.cfg_forward_start(
+                denoiser, schedule, x, tgt_emb, rng,
+                guidance_scale=params.guidance_scale,
+                frac_diffusion_skipped=params.frac_diffusion_skipped,
+                num_inference_steps=steps,
+            )
+        elif method == "linear_interp_custom_guidance_inverted_start":
+            out = T.guided_inverted_start(
+                denoiser, schedule, x, src_emb, tgt_emb,
+                guidance_loss_scale=params.guidance_loss_scale, p=params.p,
+                num_inference_steps=steps,
+            )
+        else:
+            raise ValueError(f"unknown transfer method: {method}")
+        if is_sd:
+            out = pipe.decode_latents(out)
+        return out
+
+    return jax.jit(core)
+
+
+def _save_batch(
+    images01: np.ndarray,
+    basenames: List[str],
+    tgt_labels: np.ndarray,
+    classes: Tuple[str, ...],
+    out_dir: str,
+):
+    from PIL import Image
+
+    arr = (np.clip(images01, 0, 1) * 255).astype(np.uint8)
+    for img, base, tgt in zip(arr, basenames, tgt_labels):
+        cls = classes[int(tgt)]
+        d = os.path.join(out_dir, cls)
+        os.makedirs(d, exist_ok=True)
+        stem = os.path.splitext(os.path.basename(base))[0]
+        Image.fromarray(img).save(os.path.join(d, f"{stem}_to_{cls}.png"))
+
+
+class ComparisonExperiment:
+    def __init__(self, config: ComparisonConfig, tracker=None):
+        self.config = config
+        self.tracker = tracker
+        self.pipes = {
+            name: self._load_pipeline(path)
+            for name, path in config.pipelines.items()
+        }
+        self.splits: Dict[str, DatasetIndex] = {
+            "train": scan_imagefolder(config.dataset_train)
+        }
+        if config.dataset_test:
+            self.splits["test"] = scan_imagefolder(config.dataset_test)
+        self.extractor = InceptionExtractor()
+
+    @staticmethod
+    def _load_pipeline(path: str):
+        from phendiff_tpu.pipelines.io import load_model_index
+
+        kind = load_model_index(path).get("_class_name")
+        if kind == "ConditionalDDIMPipeline":
+            return ConditionalDDIMPipeline.from_pretrained(path)
+        if kind == "SDImg2ImgPipeline":
+            return SDImg2ImgPipeline.from_pretrained(path)
+        raise ValueError(f"unknown pipeline kind {kind} at {path}")
+
+    # -- transfers ---------------------------------------------------------
+    def run_transfers(self) -> None:
+        cfg = self.config
+        rng = jax.random.key(cfg.seed)
+        for method in cfg.methods:
+            params = cfg.method_params.get(method, MethodParams())
+            for pipe_name, pipe in self.pipes.items():
+                fn = _make_transfer_fn(pipe, method, params, cfg.num_inference_steps)
+                for split_name, index in self.splits.items():
+                    out_dir = os.path.join(
+                        cfg.output_dir, method, pipe_name, split_name
+                    )
+                    from phendiff_tpu.data.imagefolder import load_image
+
+                    bs = params.batch_size
+                    for start in range(0, len(index), bs):
+                        idxs = range(start, min(start + bs, len(index)))
+                        images = np.stack([
+                            load_image(index.paths[i], cfg.definition)
+                            for i in idxs
+                        ])
+                        src = np.array([index.labels[i] for i in idxs],
+                                       dtype=np.int32)
+                        tgt = (1 - src).astype(np.int32)  # binary-class flip
+                        basenames = [index.paths[i] for i in idxs]
+                        rng, sub = jax.random.split(rng)
+                        out = fn(jnp.asarray(images), jnp.asarray(src),
+                                 jnp.asarray(tgt), sub)
+                        _save_batch(
+                            np.asarray(to_images(out)), basenames, tgt,
+                            index.classes, out_dir,
+                        )
+                        if cfg.debug:
+                            break
+
+    # -- metrics -----------------------------------------------------------
+    def _features_of_dir(self, d: str) -> Optional[np.ndarray]:
+        idx = scan_imagefolder(d)
+        loader = ImageFolderLoader(
+            idx,
+            LoaderConfig(batch_size=32, definition=self.config.definition,
+                         normalize=False, shuffle=False, drop_last=False),
+        )
+        feats, logits = self.extractor.features_for(
+            b.astype(np.float32) / 255.0 for b, _ in loader.all_images()
+        )
+        return feats, logits
+
+    def _features_of_index(self, index: DatasetIndex) -> np.ndarray:
+        loader = ImageFolderLoader(
+            index,
+            LoaderConfig(batch_size=32, definition=self.config.definition,
+                         normalize=False, shuffle=False, drop_last=False),
+        )
+        feats, _ = self.extractor.features_for(
+            b.astype(np.float32) / 255.0 for b, _ in loader.all_images()
+        )
+        return feats
+
+    def compute_metrics(self) -> Dict[str, float]:
+        cfg = self.config
+        results: Dict[str, float] = {}
+        for method in cfg.methods:
+            for pipe_name in self.pipes:
+                for split_name, index in self.splits.items():
+                    out_dir = os.path.join(
+                        cfg.output_dir, method, pipe_name, split_name
+                    )
+                    if not os.path.isdir(out_dir):
+                        continue
+                    fake_feats, fake_logits = self._features_of_dir(out_dir)
+                    real_feats = self._features_of_index(index)
+                    pooled = calculate_metrics(
+                        fake_feats, real_feats, fake_logits, cfg.metrics
+                    )
+                    prefix = f"{method}/{pipe_name}/{split_name}"
+                    for k, v in pooled.items():
+                        results[f"{prefix}/{k}"] = v
+                    # per-target-class metrics vs that class's true images
+                    fake_idx = scan_imagefolder(out_dir)
+                    for label, cname in enumerate(index.classes):
+                        if cname not in fake_idx.classes:
+                            continue
+                        f_label = fake_idx.classes.index(cname)
+                        ff, fl = (
+                            self._features_of_index(fake_idx.for_class(f_label)),
+                            None,
+                        )
+                        rf = self._features_of_index(index.for_class(label))
+                        m = calculate_metrics(
+                            ff, rf, None,
+                            dataclasses.replace(cfg.metrics, isc=False),
+                        )
+                        for k, v in m.items():
+                            results[f"{prefix}/{cname}/{k}"] = v
+        if cfg.sweep_metric and cfg.sweep_metric in results:
+            results["sweep_metric"] = results[cfg.sweep_metric]
+        with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+            json.dump(results, f, indent=2, sort_keys=True)
+        if self.tracker is not None:
+            self.tracker.log(results, 0)
+        return results
+
+    def run(self) -> Dict[str, float]:
+        self.run_transfers()
+        return self.compute_metrics()
