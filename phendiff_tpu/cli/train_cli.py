@@ -89,6 +89,7 @@ def trainer_config_from_args(args) -> TrainerConfig:
             nb_generated_images=args.nb_generated_images,
             eval_batch_size=args.eval_batch_size,
             num_inference_steps=args.num_inference_steps,
+            guidance_factor=args.guidance_factor,
             main_metric=MAIN_METRIC_NAMES[args.main_metric],
             metrics=MetricsConfig(
                 fid=args.compute_fid,
@@ -117,7 +118,10 @@ def main(argv=None):
     )
     config = trainer_config_from_args(args)
     if isinstance(pipeline, ConditionalDDIMPipeline):
-        trainer = for_ddim_pipeline(pipeline, config, paths)
+        trainer = for_ddim_pipeline(
+            pipeline, config, paths,
+            attention_fine_tuning=args.attention_fine_tuning,
+        )
     else:
         trainer = for_sd_pipeline(
             pipeline, config, paths,

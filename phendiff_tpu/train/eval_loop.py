@@ -44,6 +44,7 @@ class EvalConfig:
     nb_generated_images: int = 128
     eval_batch_size: int = 32
     num_inference_steps: int = 50
+    guidance_factor: float = 0.0  # CFG weight used for eval generation
     main_metric: str = "frechet_inception_distance"  # lower is better
     metrics: MetricsConfig = dataclasses.field(default_factory=MetricsConfig)
     unconditional: bool = False  # proba_uncond == 1 mode

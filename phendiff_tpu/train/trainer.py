@@ -266,6 +266,7 @@ class Trainer:
 
 def for_ddim_pipeline(
     pipe: ConditionalDDIMPipeline, config: TrainerConfig, paths: RunPaths,
+    attention_fine_tuning: bool = False,
     **kw,
 ) -> Trainer:
     policy = Policy.from_mixed_precision(config.mixed_precision)
@@ -284,7 +285,8 @@ def for_ddim_pipeline(
 
         def generate(labels, rng, num_inference_steps):
             return ema.generate(
-                labels, rng, num_inference_steps=num_inference_steps
+                labels, rng, num_inference_steps=num_inference_steps,
+                guidance_factor=config.eval.guidance_factor,
             )
 
         return generate
@@ -294,6 +296,22 @@ def for_ddim_pipeline(
             jax.tree.map(np.asarray, state.ema_params)
         ).save_pretrained(dirpath)
 
+    trainable_mask = None
+    if attention_fine_tuning:
+        # Freeze everything except attention blocks (reference
+        # --attention_fine_tuning, train.py:202-220).
+        def _mask(params):
+            def walk(tree, in_attn):
+                if isinstance(tree, dict):
+                    return {
+                        k: walk(v, in_attn or "attn" in k) for k, v in tree.items()
+                    }
+                return in_attn
+
+            return walk(params, False)
+
+        trainable_mask = _mask
+
     return Trainer(
         config, paths,
         model_apply=model_apply,
@@ -302,6 +320,7 @@ def for_ddim_pipeline(
         schedule=pipe.schedule,
         generate_fn_builder=generate_fn_builder,
         save_pipeline_fn=save_pipeline_fn,
+        trainable_mask=trainable_mask,
         **kw,
     )
 
@@ -344,7 +363,8 @@ def for_sd_pipeline(
 
         def generate(labels, rng, num_inference_steps):
             return ema.generate(
-                labels, rng, num_inference_steps=num_inference_steps
+                labels, rng, num_inference_steps=num_inference_steps,
+                guidance_scale=config.eval.guidance_factor,
             )
 
         return generate
