@@ -116,18 +116,24 @@ def _resize_bilinear(img: Image.Image, definition: Tuple[int, int]) -> Image.Ima
     return img.resize((definition[1], definition[0]), Image.BILINEAR)
 
 
+def decode_image(path: str) -> np.ndarray:
+    """Decode to HWC uint8 at native resolution (PIL handles the format zoo;
+    everything after the decode runs through the native C++ kernels)."""
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
 def load_image(
     path: str, definition: Tuple[int, int], normalize: bool = True
 ) -> np.ndarray:
     """Decode + resize one image. normalize=True → float32 in [-1, 1];
     False → the 'raw' uint8 stream used as the metrics reference."""
-    with Image.open(path) as im:
-        im = im.convert("RGB")
-        im = _resize_bilinear(im, definition)
-        arr = np.asarray(im, dtype=np.uint8)
+    from phendiff_tpu.data import native
+
+    raw = decode_image(path)
     if not normalize:
-        return arr
-    return arr.astype(np.float32) / 127.5 - 1.0
+        return native.resize_u8(raw, definition)
+    return native.resize_normalize(raw, definition, normalize=True)
 
 
 @dataclasses.dataclass
@@ -177,15 +183,22 @@ class ImageFolderLoader:
         self, idxs: np.ndarray, rng: np.random.Generator
     ) -> Tuple[np.ndarray, np.ndarray]:
         cfg = self.config
-        imgs = np.stack(
-            [load_image(self.index.paths[i], cfg.definition, cfg.normalize) for i in idxs]
-        )
-        if cfg.random_flip and cfg.normalize:
-            flip_h = rng.random(len(idxs)) < 0.5
-            flip_v = rng.random(len(idxs)) < 0.5
-            imgs[flip_h] = imgs[flip_h, :, ::-1]
-            imgs[flip_v] = imgs[flip_v, ::-1, :]
         labels = np.array([self.index.labels[i] for i in idxs], dtype=np.int32)
+        if cfg.normalize:
+            # decode (PIL) → batched native resize/normalize/flip (C++)
+            from phendiff_tpu.data import native
+
+            raws = [decode_image(self.index.paths[i]) for i in idxs]
+            flips = None
+            if cfg.random_flip:
+                flips = (rng.random((len(idxs), 2)) < 0.5).astype(np.int32)
+            imgs = native.batch_resize_normalize(
+                raws, cfg.definition, flips=flips
+            )
+        else:
+            imgs = np.stack(
+                [load_image(self.index.paths[i], cfg.definition, False) for i in idxs]
+            )
         return imgs, labels
 
     def epoch(

@@ -1,0 +1,93 @@
+"""Native C++ data-loader kernel tests: build, correctness vs numpy/PIL."""
+
+import numpy as np
+import pytest
+
+from phendiff_tpu.data import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+def _img(h, w, seed=0):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8
+    )
+
+
+def test_identity_resize_matches_input():
+    img = _img(16, 16)
+    out = native.resize_normalize(img, (16, 16), normalize=False)
+    np.testing.assert_allclose(out, img.astype(np.float32), atol=0.51)
+
+
+def test_normalize_range():
+    img = _img(20, 20)
+    out = native.resize_normalize(img, (16, 16))
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    # 0 → -1, 255 → +1
+    white = np.full((8, 8, 3), 255, dtype=np.uint8)
+    np.testing.assert_allclose(
+        native.resize_normalize(white, (8, 8)), 1.0, atol=1e-5
+    )
+
+
+def test_flips():
+    img = _img(8, 8)
+    base = native.resize_normalize(img, (8, 8), normalize=False)
+    fh = native.resize_normalize(img, (8, 8), normalize=False, flip_h=True)
+    fv = native.resize_normalize(img, (8, 8), normalize=False, flip_v=True)
+    np.testing.assert_allclose(fh, base[:, ::-1], atol=1e-5)
+    np.testing.assert_allclose(fv, base[::-1], atol=1e-5)
+
+
+def test_downscale_close_to_pil():
+    """Triangle-filter downscale tracks PIL BILINEAR (antialiased)."""
+    from PIL import Image
+
+    img = _img(64, 48, seed=1)
+    ours = native.resize_normalize(img, (16, 16), normalize=False)
+    pil = np.asarray(
+        Image.fromarray(img).resize((16, 16), Image.BILINEAR), dtype=np.float32
+    )
+    err = np.abs(ours - pil).mean()
+    assert err < 6.0, err  # mean abs error in [0,255] units
+
+
+def test_upscale_close_to_pil():
+    from PIL import Image
+
+    img = _img(8, 8, seed=2)
+    ours = native.resize_normalize(img, (32, 32), normalize=False)
+    pil = np.asarray(
+        Image.fromarray(img).resize((32, 32), Image.BILINEAR), dtype=np.float32
+    )
+    err = np.abs(ours - pil).mean()
+    assert err < 8.0, err
+
+
+def test_batch_matches_single():
+    imgs = [_img(24, 24, seed=i) for i in range(4)]
+    flips = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], dtype=np.int32)
+    batch = native.batch_resize_normalize(imgs, (16, 16), flips=flips)
+    assert batch.shape == (4, 16, 16, 3)
+    for i, im in enumerate(imgs):
+        single = native.resize_normalize(
+            im, (16, 16), flip_h=bool(flips[i, 0]), flip_v=bool(flips[i, 1])
+        )
+        np.testing.assert_allclose(batch[i], single, atol=1e-6)
+
+
+def test_variable_source_sizes_in_batch():
+    imgs = [_img(10, 20, seed=5), _img(33, 7, seed=6)]
+    batch = native.batch_resize_normalize(imgs, (12, 12))
+    assert batch.shape == (2, 12, 12, 3)
+    assert np.isfinite(batch).all()
+
+
+def test_resize_u8_raw_stream():
+    img = _img(40, 40, seed=7)
+    out = native.resize_u8(img, (16, 16))
+    assert out.dtype == np.uint8 and out.shape == (16, 16, 3)
