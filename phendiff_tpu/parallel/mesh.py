@@ -46,7 +46,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of host arrays onto the mesh, batch-sharded."""
+    """Place a pytree of host arrays onto the mesh, batch-sharded.
+
+    Single-host: a plain sharded device_put.  Multi-host (jax.distributed):
+    each process passes its LOCAL shard of the global batch and the pieces
+    are assembled into one global array — the TPU-native replacement for
+    per-rank DataLoaders + DDP (the loader's ``num_shards/shard_index``
+    fields produce exactly these local shards).
+    """
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                data_sharding(mesh, np.ndim(x)), np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )

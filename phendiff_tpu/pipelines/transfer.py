@@ -33,6 +33,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from phendiff_tpu.core import scheduler as S
 from phendiff_tpu.pipelines import conditional_ddim as cd
@@ -56,17 +57,51 @@ def ddib(
     *,
     num_inference_steps: int = 100,
 ) -> Array:
-    """Dual diffusion implicit bridge: x --invert(source)--> z --gen(target)--> x'."""
-    latents = cd.ddim_invert(
-        denoiser, schedule, images, source_emb,
-        num_inference_steps=num_inference_steps,
+    """Dual diffusion implicit bridge: x --invert(source)--> z --gen(target)--> x'.
+
+    TPU-native fusion: with eta=0 the DDIM generation update and the
+    inversion update are the *same* algebraic map
+        x' = sqrt(a[t_tgt]) x0 + sqrt(1 - a[t_tgt]) eps,   (x0, eps) at t_eval
+    differing only in the (t_eval, t_target) tables and the conditioning.
+    The whole bridge is therefore ONE ``lax.scan`` over 2N steps with a
+    per-step (pair, use_target_emb, apply_clip) table — a single UNet body
+    in the compiled program (half the HLO / compile time of running two
+    scans), zero per-step host dispatch.  x0-clipping (enabled by the
+    scheduler config, as the reference's generation leg does) is masked off
+    on the inversion leg where it would break invertibility.
+    """
+    inv_t, inv_next = S.inversion_timestep_pairs(schedule.config, num_inference_steps)
+    gen_t, gen_prev = S.timestep_pairs(schedule.config, num_inference_steps)
+    t_eval = jnp.asarray(np.concatenate([inv_t, gen_t]), dtype=jnp.int32)
+    t_tgt = jnp.asarray(np.concatenate([inv_next, gen_prev]), dtype=jnp.int32)
+    n = len(inv_t)
+    is_gen = jnp.asarray(
+        np.concatenate([np.zeros(n), np.ones(len(gen_t))]), dtype=jnp.float32
     )
-    return cd.ddim_sample(
-        denoiser, schedule, target_emb,
-        start_image=latents,
-        num_inference_steps=num_inference_steps,
-        guidance=cd.GuidanceConfig(0.0, "imagen"),  # w=0: unguided
-    )
+
+    b = images.shape[0]
+    x = images.astype(jnp.float32)
+
+    def body(x, step):
+        te, tt, gen_flag = step
+        # conditioning: source on the inversion leg, target on generation
+        emb = jnp.where(
+            _bcast(gen_flag, target_emb), target_emb, source_emb
+        )
+        model_out = denoiser(x, jnp.broadcast_to(te, (b,)), emb)
+        x0, eps = S.predict_x0_eps(schedule, model_out, te, x)
+        x0_clipped = S._maybe_clip_x0(schedule, x0)
+        x0 = jnp.where(_bcast(gen_flag, x0), x0_clipped, x0)
+        a_tgt = S._gather_alpha(schedule, tt).astype(x.dtype)
+        x = jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (t_eval, t_tgt, is_gen))
+    return x
+
+
+def _bcast(flag: Array, like: Array) -> Array:
+    return jnp.broadcast_to(flag.reshape((1,) * like.ndim), like.shape) > 0.5
 
 
 def inverted_regeneration(

@@ -163,13 +163,18 @@ class Trainer:
         if config.perc_samples < 100:
             index = balanced_subsample(index, config.perc_samples, config.seed)
         self.index = index
+        # per-host shard of the global batch (multi-host: each process loads
+        # 1/process_count of every batch; shard_batch assembles the global
+        # array — replaces the reference's per-rank DataLoader + DDP)
         self.loader = ImageFolderLoader(
             index,
             LoaderConfig(
-                batch_size=config.train_batch_size,
+                batch_size=config.train_batch_size // jax.process_count(),
                 definition=config.definition,
                 random_flip=config.data_aug_on_the_fly,
                 seed=config.seed,
+                num_shards=jax.process_count(),
+                shard_index=jax.process_index(),
             ),
         )
         self.evaluator = None
@@ -220,11 +225,14 @@ class Trainer:
 
     # -- main loop -----------------------------------------------------------
     def run(self) -> TrainState:
+        from phendiff_tpu.obs.profiling import StepTimer
+
         cfg = self.config
         first_epoch, skip = self.maybe_resume()
         global_step = int(self.state.step)
         root_key = jax.random.key(cfg.seed)
         done = False
+        timer = StepTimer()
 
         for epoch in range(first_epoch, cfg.num_epochs):
             skip_batches = skip if epoch == first_epoch else 0
@@ -232,9 +240,11 @@ class Trainer:
                 batch = shard_batch(self.mesh, (images, labels))
                 self.state, metrics = self._step_fn(self.state, batch, root_key)
                 global_step += 1
+                timer.tick()
 
                 host = {k: float(v) for k, v in metrics.items()}
                 host["epoch"] = epoch
+                host.update(timer.stats(cfg.train_batch_size))
                 self.tracker.log(host, global_step)
                 if host.get("nonfinite"):
                     self.tracker.alert(
