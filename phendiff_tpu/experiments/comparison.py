@@ -214,6 +214,15 @@ class ComparisonExperiment:
                             np.asarray(to_images(out)), basenames, tgt,
                             index.classes, out_dir,
                         )
+                        if start == 0:
+                            # first-batch orig/transferred pairs panel
+                            # (reference wandb Table, utils_Img2Img.py:402-452)
+                            from phendiff_tpu.obs.images import side_by_side
+
+                            panel = side_by_side(
+                                images[:8], np.asarray(out[:8])
+                            )
+                            panel.save(os.path.join(out_dir, "_pairs.png"))
                         if cfg.debug:
                             break
 

@@ -44,15 +44,24 @@ def _on_tpu() -> bool:
 def attention_xla(
     q: Array, k: Array, v: Array, *, scale: Optional[float] = None
 ) -> Array:
-    """[B, S, H, D] q/k/v → [B, S, H, D]. f32 accumulation and softmax."""
+    """[B, S, H, D] q/k/v → [B, S, H, D].
+
+    Matmuls keep the input dtype (bf16 under mixed precision → full MXU
+    rate) with float32 accumulation via ``preferred_element_type``; the
+    softmax itself is always float32.  Upcasting the *inputs* to f32 would
+    run the matmuls at a fraction of MXU throughput for no accuracy gain —
+    accumulation is what matters.
+    """
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
-    probs = jax.nn.softmax(scores, axis=-1)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+        preferred_element_type=jnp.float32,
+    )
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jnp.einsum(
-        "bhqk,bkhd->bqhd", probs.astype(jnp.float32), v.astype(jnp.float32)
+        "bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype)
 

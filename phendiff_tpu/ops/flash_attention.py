@@ -41,16 +41,18 @@ _INTERPRET = os.environ.get("PHENDIFF_PALLAS_INTERPRET", "0") == "1"
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
     # q_ref: [1, BQ, D]; k_ref/v_ref: [1, S, D]; o_ref: [1, BQ, D]
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    # Matmuls keep the input dtype (bf16 → full MXU rate) and accumulate in
+    # f32; softmax math is f32.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BQ, S]
+    )  # [BQ, S] f32
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    p = (p / denom).astype(v.dtype)
     out = jnp.dot(p, v, preferred_element_type=jnp.float32)  # [BQ, D]
     o_ref[0] = out.astype(o_ref.dtype)
 
@@ -110,21 +112,25 @@ def _flash_fwd_rule(q, k, v, scale):
 
 
 def _flash_bwd_rule(scale, res, g):
-    # Recompute-probabilities backward in XLA (f32). Attention backward is a
-    # small share of UNet backward FLOPs; recompute trades HBM for MXU time.
+    # Recompute-probabilities backward in XLA: matmuls in the input dtype
+    # (bf16 → full MXU rate) with f32 accumulation; softmax math in f32.
     q, k, v = res
-    qf = q.astype(jnp.float32) * scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
-    p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    qs = q * jnp.asarray(scale, q.dtype)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", qs, k, preferred_element_type=jnp.float32
+    )
+    p = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    p_lo = p.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p_lo, g,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v,
+                    preferred_element_type=jnp.float32)
     # softmax backward: dS = P * (dP - sum_k(P * dP))
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, kf) * scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qf)
+    ds = (p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k,
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, qs,
+                    preferred_element_type=jnp.float32)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -134,10 +140,17 @@ _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 def flash_attention(
     q: Array, k: Array, v: Array, *, scale: Optional[float] = None
 ) -> Array:
-    """[B, S, H, D] fused attention. Pads D up to a TPU lane multiple."""
+    """[B, S, H, D] fused attention.
+
+    By default D is padded up to a lane multiple (128); set
+    ``PHENDIFF_FLASH_NO_PAD=1`` to hand Mosaic the compact arrays instead
+    (it pads tiles internally — same MXU time, 1/16th the HBM traffic for
+    the reference architecture's D=8 heads).
+    """
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    pad_d = (-d) % 128
+    no_pad = os.environ.get("PHENDIFF_FLASH_NO_PAD", "0") == "1"
+    pad_d = 0 if no_pad else (-d) % 128
     if pad_d:
         padding = [(0, 0)] * 3 + [(0, pad_d)]
         q, k, v = (jnp.pad(x, padding) for x in (q, k, v))

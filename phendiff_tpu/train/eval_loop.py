@@ -67,12 +67,17 @@ class Evaluator:
         definition,
         cache_root: Optional[str] = None,
         extractor: Optional[InceptionExtractor] = None,
+        shard_fn: Optional[Callable] = None,  # labels -> mesh-sharded labels
     ):
         self.config = config
         self.raw_index = raw_index
         self.definition = definition
         self.extractor = extractor or InceptionExtractor()
         self.cache = FeatureCache(cache_root) if cache_root else None
+        # Sharding the label batch over the mesh makes the whole generation
+        # scan data-parallel (the TPU-native version of the reference's
+        # per-rank eval-batch sharding, utils_training.py:128-139).
+        self.shard_fn = shard_fn or (lambda x: x)
 
     # -- reference features (cached per class) -----------------------------
     def _reference_features(self, class_label: int, class_name: str):
@@ -108,7 +113,7 @@ class Evaluator:
         while remaining > 0:
             bs = min(cfg.eval_batch_size, remaining)
             rng, sub = jax.random.split(rng)
-            labels = jnp.full((bs,), class_label, dtype=jnp.int32)
+            labels = self.shard_fn(jnp.full((bs,), class_label, dtype=jnp.int32))
             out = generate_fn(labels, sub, cfg.num_inference_steps)
             imgs01 = to_images(out)
             f, l = self.extractor(imgs01)

@@ -184,6 +184,11 @@ class Trainer:
                 index,
                 config.definition,
                 cache_root=self.paths.fidelity_cache,
+                shard_fn=lambda labels: (
+                    shard_batch(self.mesh, labels)
+                    if labels.shape[0] % self.mesh.devices.size == 0
+                    else labels
+                ),
             )
 
     # -- resume ------------------------------------------------------------
