@@ -142,15 +142,16 @@ def flash_attention(
 ) -> Array:
     """[B, S, H, D] fused attention.
 
-    By default D is padded up to a lane multiple (128); set
-    ``PHENDIFF_FLASH_NO_PAD=1`` to hand Mosaic the compact arrays instead
-    (it pads tiles internally — same MXU time, 1/16th the HBM traffic for
-    the reference architecture's D=8 heads).
+    Arrays are handed to Mosaic compact (no head-dim padding): explicit
+    zero-padding of D=8 heads to 128 lanes measured 1.3x SLOWER end to end
+    on v5e (16x the HBM traffic for q/k/v; the MXU pads the contraction
+    internally either way).  Set ``PHENDIFF_FLASH_PAD=1`` to restore
+    padding for head dims Mosaic cannot tile (non-multiple-of-8).
     """
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    no_pad = os.environ.get("PHENDIFF_FLASH_NO_PAD", "0") == "1"
-    pad_d = 0 if no_pad else (-d) % 128
+    force_pad = os.environ.get("PHENDIFF_FLASH_PAD", "0") == "1"
+    pad_d = (-d) % 128 if (force_pad or d % 8) else 0
     if pad_d:
         padding = [(0, 0)] * 3 + [(0, pad_d)]
         q, k, v = (jnp.pad(x, padding) for x in (q, k, v))
