@@ -197,6 +197,9 @@ class InceptionV3(nn.Module):
 # ---------------------------------------------------------------------------
 
 WEIGHTS_ENV = "PHENDIFF_INCEPTION_WEIGHTS"
+# Test knob: shrink the input resolution (breaks FID parity, 16x cheaper on
+# a 1-core CPU; only meaningful with random-init weights).
+RESIZE_ENV = "PHENDIFF_INCEPTION_RESIZE"
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -272,8 +275,11 @@ class InceptionExtractor:
         """images01: [B, H, W, 3] float in [0, 1] → (features, logits)."""
         b, h, w, _ = images01.shape
         x = images01.astype(jnp.float32)
-        if (h, w) != (299, 299):
-            x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+        res = int(os.environ.get(RESIZE_ENV, "299"))
+        if self.pretrained:
+            res = 299  # never break parity with real weights
+        if (h, w) != (res, res):
+            x = jax.image.resize(x, (b, res, res, 3), method="bilinear")
         x = x * 2.0 - 1.0  # TF inception normalization
         return self._apply(x)
 

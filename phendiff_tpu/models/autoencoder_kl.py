@@ -77,7 +77,7 @@ class VAEResnet(nn.Module):
         h = group_norm(x, num_groups=self.norm_num_groups, eps=1e-6,
                        scale=self.param("norm1_scale", nn.initializers.ones, (c_in,)),
                        bias=self.param("norm1_bias", nn.initializers.zeros, (c_in,)),
-                       act="silu").astype(self.dtype)
+                       act="silu", out_dtype=self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
         h = group_norm(h, num_groups=self.norm_num_groups, eps=1e-6,
@@ -85,7 +85,7 @@ class VAEResnet(nn.Module):
                                         (self.out_channels,)),
                        bias=self.param("norm2_bias", nn.initializers.zeros,
                                        (self.out_channels,)),
-                       act="silu").astype(self.dtype)
+                       act="silu", out_dtype=self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if c_in != self.out_channels:
@@ -106,7 +106,8 @@ class VAEAttention(nn.Module):
         h = group_norm(x, num_groups=self.norm_num_groups, eps=1e-6,
                        scale=self.param("norm_scale", nn.initializers.ones, (c,)),
                        bias=self.param("norm_bias", nn.initializers.zeros, (c,)),
-                       ).astype(self.dtype)
+                           out_dtype=self.dtype,
+                       )
         h = h.reshape(b, hh * ww, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(h)
@@ -144,7 +145,7 @@ class Encoder(nn.Module):
         x = group_norm(x, num_groups=g, eps=1e-6,
                        scale=self.param("norm_out_scale", nn.initializers.ones, (c_mid,)),
                        bias=self.param("norm_out_bias", nn.initializers.zeros, (c_mid,)),
-                       act="silu").astype(self.dtype)
+                       act="silu", out_dtype=self.dtype)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1,
                        dtype=self.dtype, name="conv_out")(x)
 
@@ -174,7 +175,7 @@ class Decoder(nn.Module):
         x = group_norm(x, num_groups=g, eps=1e-6,
                        scale=self.param("norm_out_scale", nn.initializers.ones, (c_last,)),
                        bias=self.param("norm_out_bias", nn.initializers.zeros, (c_last,)),
-                       act="silu").astype(self.dtype)
+                       act="silu", out_dtype=self.dtype)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                        name="conv_out")(x)
 

@@ -187,7 +187,8 @@ class Transformer2D(nn.Module):
             x, num_groups=self.norm_num_groups, eps=1e-6,
             scale=self.param("norm_scale", nn.initializers.ones, (c,)),
             bias=self.param("norm_bias", nn.initializers.zeros, (c,)),
-        ).astype(self.dtype)
+            out_dtype=self.dtype,
+        )
         h = h.reshape(b, hh * ww, c)
         if self.use_linear_projection:
             h = nn.Dense(c, dtype=self.dtype, name="proj_in")(h)
@@ -305,7 +306,8 @@ class SDUNet(nn.Module):
             scale=self.param("norm_out_scale", nn.initializers.ones, (c,)),
             bias=self.param("norm_out_bias", nn.initializers.zeros, (c,)),
             act="silu",
-        ).astype(self.dtype)
+            out_dtype=self.dtype,
+        )
         x = nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv_out")(x)
         return x.astype(sample.dtype)

@@ -69,7 +69,8 @@ class ResnetBlock(nn.Module):
             scale=self.param("norm1_scale", nn.initializers.ones, (c_in,), self.param_dtype),
             bias=self.param("norm1_bias", nn.initializers.zeros, (c_in,), self.param_dtype),
             act="silu",
-        ).astype(self.dtype)
+            out_dtype=self.dtype,
+        )
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv1",
@@ -94,7 +95,8 @@ class ResnetBlock(nn.Module):
                 bias=self.param(
                     "norm2_bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
                 ),
-            ).astype(self.dtype)
+                out_dtype=self.dtype,
+            )
             h = h * (1 + scale) + shift
             h = nn.silu(h)
         else:
@@ -110,7 +112,8 @@ class ResnetBlock(nn.Module):
                     "norm2_bias", nn.initializers.zeros, (self.out_channels,), self.param_dtype
                 ),
                 act="silu",
-            ).astype(self.dtype)
+                out_dtype=self.dtype,
+            )
 
         h = nn.Conv(
             self.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -149,7 +152,8 @@ class SelfAttention2D(nn.Module):
             eps=self.norm_eps,
             scale=self.param("norm_scale", nn.initializers.ones, (c,), self.param_dtype),
             bias=self.param("norm_bias", nn.initializers.zeros, (c,), self.param_dtype),
-        ).astype(self.dtype)
+            out_dtype=self.dtype,
+        )
         h = h.reshape(b, hgt * wid, c)
 
         qkv = nn.Dense(
@@ -359,7 +363,8 @@ class CondUNet2D(nn.Module):
             scale=self.param("norm_out_scale", nn.initializers.ones, (c,), self.param_dtype),
             bias=self.param("norm_out_bias", nn.initializers.zeros, (c,), self.param_dtype),
             act="silu",
-        ).astype(self.dtype)
+            out_dtype=self.dtype,
+        )
         x = nn.Conv(
             cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv_out",

@@ -15,12 +15,24 @@ precision for norm_eps=1e-5/1e-6).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# "auto" uses the fused Pallas kernel on TPU when the slab fits VMEM and a
+# scale/bias epilogue is present; "xla" / "pallas" force a path.
+_IMPL_ENV = "PHENDIFF_GN_IMPL"
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def group_norm(
@@ -31,15 +43,38 @@ def group_norm(
     scale: Optional[Array] = None,
     bias: Optional[Array] = None,
     act: Optional[str] = None,
+    out_dtype=None,
 ) -> Array:
     """GroupNorm over an NHWC tensor, optionally fused with an activation.
 
-    Returns float32 (callers cast back to their compute dtype) so the
-    affine+activation epilogue keeps full precision.
+    All statistics/affine/activation math runs in float32; ``out_dtype``
+    selects the storage dtype of the result (pass the model's compute dtype
+    so the fused kernel writes bf16 directly — an f32 output plus a
+    separate cast pass would double the HBM traffic).  Default: float32.
     """
     b, h, w, c = x.shape
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
+    out_dtype = out_dtype or jnp.float32
+
+    impl = os.environ.get(_IMPL_ENV, "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and _on_tpu()
+        and scale is not None
+        and bias is not None
+    )
+    if use_pallas:
+        from phendiff_tpu.ops.gn_kernels import fits_vmem, fused_group_norm
+
+        if fits_vmem(h * w, c, x.dtype.itemsize):
+            out = fused_group_norm(
+                x.reshape(b, h * w, c), scale, bias,
+                num_groups=num_groups, eps=eps, act=act,
+                out_dtype=out_dtype,
+            )
+            return out.reshape(b, h, w, c)
+
     xf = x.astype(jnp.float32).reshape(b, h * w, num_groups, c // num_groups)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
@@ -53,4 +88,4 @@ def group_norm(
         xf = jax.nn.silu(xf)
     elif act is not None:
         raise ValueError(f"unknown activation: {act}")
-    return xf
+    return xf.astype(out_dtype)

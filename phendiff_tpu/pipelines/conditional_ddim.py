@@ -195,7 +195,9 @@ def ddim_invert(
     x = image.astype(jnp.float32)
 
     def body(x, pair):
-        t = jnp.broadcast_to(pair[0], (b,))
+        # network eval time clamped to >= 0: the first pair's t=-1 means
+        # "clean image" in the alpha tables, but the net never saw t=-1
+        t = jnp.broadcast_to(jnp.maximum(pair[0], 0), (b,))
         model_out = denoiser(x, t, class_emb)
         x = S.ddim_inverse_step(schedule, model_out, pair[0], pair[1], x)
         return x, None

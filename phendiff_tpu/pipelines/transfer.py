@@ -88,7 +88,10 @@ def ddib(
         emb = jnp.where(
             _bcast(gen_flag, target_emb), target_emb, source_emb
         )
-        model_out = denoiser(x, jnp.broadcast_to(te, (b,)), emb)
+        # network eval time clamped to >= 0 (the te=-1 "clean image" point
+        # keeps its alpha-table semantics but the net never saw t=-1)
+        t_net = jnp.maximum(te, 0)
+        model_out = denoiser(x, jnp.broadcast_to(t_net, (b,)), emb)
         x0, eps = S.predict_x0_eps(schedule, model_out, te, x)
         x0_clipped = S._maybe_clip_x0(schedule, x0)
         x0 = jnp.where(_bcast(gen_flag, x0), x0_clipped, x0)

@@ -19,6 +19,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Shrink InceptionV3 input in tests (random-init weights anyway): 16x less
+# compute on this 1-core host; parity-relevant runs use real weights + 299.
+os.environ.setdefault("PHENDIFF_INCEPTION_RESIZE", "75")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
