@@ -117,6 +117,25 @@ def ddim_sample(
     initial state (reference ``:237-245``).  ``add_forward_noise`` noises the
     start image to the first kept timestep (reference ``:263-269``).
     """
+    # input validation (reference check_inputs, pipeline_conditionial_ddim.py:91-137)
+    if num_inference_steps < 1:
+        raise ValueError("num_inference_steps must be >= 1")
+    if num_inference_steps > schedule.num_train_timesteps:
+        raise ValueError(
+            f"num_inference_steps ({num_inference_steps}) exceeds "
+            f"num_train_timesteps ({schedule.num_train_timesteps})"
+        )
+    if start_image is not None and shape is not None and tuple(start_image.shape) != tuple(shape):
+        raise ValueError(
+            f"start_image shape {start_image.shape} != requested shape {shape}"
+        )
+    if class_emb.ndim < 2:
+        raise ValueError("class_emb must be [B, ...] conditioning per sample")
+    if start_image is not None and start_image.shape[0] != class_emb.shape[0]:
+        raise ValueError("start_image batch != conditioning batch")
+    if frac_diffusion_skipped and strength is not None:
+        raise ValueError("use either frac_diffusion_skipped or strength, not both")
+
     if start_image is None:
         if shape is None or rng is None:
             raise ValueError("need shape+rng when no start_image is given")
