@@ -38,8 +38,66 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+MODE = os.environ.get("BENCH_MODE", "transfer")  # transfer | train
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_UTILIZATION = 0.40
+
+
+def bench_train():
+    """Training-step throughput (samples/s/chip) on the flagship config.
+
+    Comparable fact from the reference: 112 images/GPU at 128px fp16 fit an
+    A100 for from-scratch DDIM training (BASELINE.md); throughput itself is
+    unpublished."""
+    import numpy as np
+
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.models import CondUNet2D
+    from phendiff_tpu.models import config as C
+    from phendiff_tpu.train.train_loop import (
+        OptimizerConfig, TrainConfig, init_train_state, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = C.super_small().replace(sample_size=RES)
+    model = CondUNet2D(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, RES, RES, 3))
+    params = model.init(
+        jax.random.key(0), x, jnp.array([0]), class_labels=jnp.array([0])
+    )
+    model_apply = lambda p, xx, t, ce: model.apply(p, xx, t, class_emb=ce)
+    embed_fn = lambda p, l: p["params"]["class_embedding"]["embedding"][l]
+    schedule = make_schedule(SchedulerConfig())
+    tcfg = TrainConfig(proba_uncond=0.1, optimizer=OptimizerConfig())
+    opt = make_optimizer(tcfg.optimizer)
+    step = jax.jit(
+        make_train_step(model_apply, embed_fn, schedule, tcfg, opt),
+        donate_argnums=(0,),
+    )
+    state = init_train_state(params, opt)
+    images = jax.random.normal(jax.random.key(1), (BATCH, RES, RES, 3)) * 0.5
+    labels = jnp.tile(jnp.array([0, 1]), BATCH // 2)
+
+    t0 = time.perf_counter()
+    state, m = step(state, (images, labels), jax.random.key(2))
+    jax.block_until_ready(m["loss"])
+    print(f"# train compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, (images, labels), jax.random.key(2))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"train_samples_per_sec_per_chip_{RES}px",
+        "value": round(BATCH * iters / dt, 2),
+        "unit": "samples/s/chip",
+        "vs_baseline": None,
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+        "loss": float(m["loss"]),
+    }))
 
 
 def main():
@@ -123,4 +181,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if MODE == "train":
+        bench_train()
+    else:
+        main()

@@ -27,21 +27,44 @@ Array = jax.Array
 
 _INTERPRET = os.environ.get("PHENDIFF_PALLAS_INTERPRET", "0") == "1"
 
-# VMEM budget for the activation slab (bytes); leave room for f32 temps.
-_MAX_SLAB_BYTES = 6 * 1024 * 1024
+# VMEM budget: Mosaic keeps the input block, an f32 working copy, several
+# f32 elementwise temps and the output alive on the kernel stack — measured
+# ~30 bytes/element at bf16 input on v5e.  The single-pass win therefore
+# only applies to mid/deep UNet levels; larger slabs fall back to the XLA
+# chain (which is itself a good 3-pass program: stats read + fused
+# normalize/act/cast read-write).
+_MAX_SLAB_ELEMS = 450_000
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int,
                eps: float, act: Optional[str]):
+    """Group moments via a channel→group one-hot matmul.
+
+    Mosaic cannot lay out an in-kernel reshape that splits the lane (C)
+    dimension into (groups, C/groups), so the per-group reduction is
+    expressed as [1, C] @ [C, G] matmuls instead — MXU-friendly and
+    layout-trivial.  Broadcast back with the transpose.
+    """
     x = x_ref[0].astype(jnp.float32)  # [S, C]
     s, c = x.shape
     cg = c // num_groups
-    xg = x.reshape(s, num_groups, cg)
-    # moments over (S, cg) per group — f32
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(0, 2), keepdims=True)
-    xn = (xg - mean) * jax.lax.rsqrt(var + eps)
-    xn = xn.reshape(s, c)
+    # one-hot channel→group matrix, built from iota (no data reshape)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (c, num_groups), 1)
+    member = (ch // cg == grp).astype(jnp.float32)  # [C, G]
+
+    col_sum = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
+    col_sqsum = jnp.sum(x * x, axis=0, keepdims=True)
+    n = float(s * cg)
+    g_mean = jnp.dot(col_sum, member, preferred_element_type=jnp.float32) / n
+    g_sqmean = jnp.dot(col_sqsum, member, preferred_element_type=jnp.float32) / n
+    g_var = g_sqmean - g_mean * g_mean
+    # broadcast group stats back to channels: [1, G] @ [G, C]
+    mean_c = jnp.dot(g_mean, member.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(
+        jax.lax.rsqrt(g_var + eps), member.T, preferred_element_type=jnp.float32
+    )
+    xn = (x - mean_c) * inv_c
     xn = xn * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     if act == "silu":
         xn = xn * jax.nn.sigmoid(xn)
@@ -130,4 +153,5 @@ def _pallas_gn(x, scale, bias, num_groups, eps, act, out_dtype) -> Array:
 
 
 def fits_vmem(s: int, c: int, itemsize: int) -> bool:
-    return s * c * itemsize <= _MAX_SLAB_BYTES
+    del itemsize  # footprint is dominated by the f32 temporaries
+    return s * c <= _MAX_SLAB_ELEMS

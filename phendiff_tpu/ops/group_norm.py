@@ -57,13 +57,13 @@ def group_norm(
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
     out_dtype = out_dtype or jnp.float32
 
-    impl = os.environ.get(_IMPL_ENV, "auto")
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and _on_tpu()
-        and scale is not None
-        and bias is not None
-    )
+    # Default is the XLA chain: measured on v5e, the fused Pallas kernel is
+    # ~2.6% slower end to end (XLA's 3-pass fused program is already near
+    # the bandwidth roofline, and the kernel's in-VMEM f32 temporaries gate
+    # it out of the large level-0 slabs where fusion would matter).  The
+    # kernel stays available via PHENDIFF_GN_IMPL=pallas.
+    impl = os.environ.get(_IMPL_ENV, "xla")
+    use_pallas = impl == "pallas"
     if use_pallas:
         from phendiff_tpu.ops.gn_kernels import fits_vmem, fused_group_norm
 

@@ -136,6 +136,10 @@ class TrainState(struct.PyTreeNode):
 
 
 def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
+    # Copy the params into the state: the train step donates the state's
+    # buffers for in-place reuse, which must not invalidate the caller's
+    # (e.g. a pipeline object's) arrays.
+    params = jax.tree.map(jnp.copy, params)
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,

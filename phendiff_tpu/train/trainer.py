@@ -140,11 +140,15 @@ class Trainer:
 
         self.optimizer = make_optimizer(opt_cfg, trainable_mask)
         self.schedule = schedule
+        # donate the state: params/opt/EMA buffers are reused in place,
+        # halving peak HBM (the reference relies on torch's allocator for
+        # the same effect)
         self._step_fn = jax.jit(
             make_train_step(
                 model_apply, embed_fn, schedule, self.train_cfg,
                 self.optimizer, encode_fn,
-            )
+            ),
+            donate_argnums=(0,),
         )
         self.state = jax.device_put(
             init_train_state(trainable_params, self.optimizer),
