@@ -60,7 +60,8 @@ def bench_train():
     )
 
     cfg = C.super_small().replace(sample_size=RES)
-    model = CondUNet2D(cfg, dtype=jnp.bfloat16)
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    model = CondUNet2D(cfg, dtype=jnp.bfloat16, remat=remat)
     x = jnp.zeros((1, RES, RES, 3))
     params = model.init(
         jax.random.key(0), x, jnp.array([0]), class_labels=jnp.array([0])

@@ -210,10 +210,14 @@ class Transformer2D(nn.Module):
 
 
 class SDUNet(nn.Module):
-    """forward(sample, timesteps, encoder_hidden_states) → epsilon/v output."""
+    """forward(sample, timesteps, encoder_hidden_states) → epsilon/v output.
+
+    ``remat=True`` rematerializes resnet/transformer blocks in backward
+    (activation-memory vs FLOPs trade for fine-tuning)."""
 
     config: SDUNetConfig
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -239,6 +243,9 @@ class SDUNet(nn.Module):
 
         head_dim_of = lambda ch, lvl: ch // cfg.heads_at(lvl)
 
+        ResBlk = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        Xfmr = nn.remat(Transformer2D) if self.remat else Transformer2D
+
         x = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                     dtype=self.dtype, name="conv_in")(x)
         skips = [x]
@@ -246,13 +253,13 @@ class SDUNet(nn.Module):
             zip(cfg.down_block_types, cfg.block_out_channels)
         ):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock(
+                x = ResBlk(
                     c_out, norm_num_groups=cfg.norm_num_groups,
                     norm_eps=cfg.norm_eps, dtype=self.dtype,
                     name=f"down_{i}_res_{j}",
                 )(x, temb)
                 if btype == "CrossAttnDownBlock2D":
-                    x = Transformer2D(
+                    x = Xfmr(
                         cfg.heads_at(i), head_dim_of(c_out, i),
                         cfg.norm_num_groups, cfg.use_linear_projection,
                         self.dtype, name=f"down_{i}_attn_{j}",
@@ -267,15 +274,15 @@ class SDUNet(nn.Module):
 
         c_mid = cfg.block_out_channels[-1]
         lvl_mid = len(cfg.block_out_channels) - 1
-        x = ResnetBlock(c_mid, norm_num_groups=cfg.norm_num_groups,
+        x = ResBlk(c_mid, norm_num_groups=cfg.norm_num_groups,
                         norm_eps=cfg.norm_eps, dtype=self.dtype,
                         name="mid_res_0")(x, temb)
-        x = Transformer2D(
+        x = Xfmr(
             cfg.heads_at(lvl_mid), head_dim_of(c_mid, lvl_mid),
             cfg.norm_num_groups, cfg.use_linear_projection, self.dtype,
             name="mid_attn",
         )(x, ctx)
-        x = ResnetBlock(c_mid, norm_num_groups=cfg.norm_num_groups,
+        x = ResBlk(c_mid, norm_num_groups=cfg.norm_num_groups,
                         norm_eps=cfg.norm_eps, dtype=self.dtype,
                         name="mid_res_1")(x, temb)
 
@@ -285,13 +292,13 @@ class SDUNet(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
-                x = ResnetBlock(
+                x = ResBlk(
                     c_out, norm_num_groups=cfg.norm_num_groups,
                     norm_eps=cfg.norm_eps, dtype=self.dtype,
                     name=f"up_{i}_res_{j}",
                 )(x, temb)
                 if btype == "CrossAttnUpBlock2D":
-                    x = Transformer2D(
+                    x = Xfmr(
                         cfg.heads_at(lvl), head_dim_of(c_out, lvl),
                         cfg.norm_num_groups, cfg.use_linear_projection,
                         self.dtype, name=f"up_{i}_attn_{j}",

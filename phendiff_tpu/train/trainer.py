@@ -291,7 +291,10 @@ def for_ddim_pipeline(
     policy = Policy.from_mixed_precision(config.mixed_precision)
     from phendiff_tpu.models.unet2d import CondUNet2D
 
-    model = CondUNet2D(pipe.unet_config, dtype=policy.compute_jnp)
+    # remat: recompute block activations in backward — the batch-size lever
+    # (the reference fits 112/A100-80GB; remat lets a 16GB v5e train real
+    # batches instead of OOMing at 64)
+    model = CondUNet2D(pipe.unet_config, dtype=policy.compute_jnp, remat=True)
 
     def model_apply(params, x, t, class_emb):
         return model.apply(params, x, t, class_emb=class_emb)
@@ -354,7 +357,7 @@ def for_sd_pipeline(
     policy = Policy.from_mixed_precision(config.mixed_precision)
     from phendiff_tpu.models.sd_unet import SDUNet
 
-    unet = SDUNet(pipe.unet_config, dtype=policy.compute_jnp)
+    unet = SDUNet(pipe.unet_config, dtype=policy.compute_jnp, remat=True)
     vae_params = pipe.vae_params  # frozen, closed over
 
     params = {
