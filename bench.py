@@ -138,15 +138,13 @@ def main():
     compiled = transfer.lower(images).compile()
     print(f"# compile: {time.perf_counter() - t_c0:.1f}s", file=sys.stderr)
 
-    # Per-forward FLOPs from a single (non-scan) forward: XLA cost analysis
-    # reports a scan body once, so the scan program undercounts by STEPS.
-    single = jax.jit(
-        lambda xx: denoiser(xx, jnp.zeros((BATCH,), jnp.int32), src)
-    ).lower(images).compile()
-    cost = single.cost_analysis()
+    # Per-forward FLOPs from the scan program's own cost analysis: XLA
+    # reports the (single, fused) scan body once, i.e. ≈ one batched UNet
+    # forward.  One transfer = 2*STEPS forwards.  (Avoids compiling a
+    # second program over the slow tunnel.)
+    cost = compiled.cost_analysis()
     ca = cost[0] if isinstance(cost, (list, tuple)) else cost
     fwd_flops = ca.get("flops") if ca else None
-    # one transfer = STEPS inversion + STEPS generation forwards
     flops_per_call = 2 * STEPS * fwd_flops if fwd_flops else None
 
     # warmup run (reuse the compiled executable — do NOT re-trigger jit)
