@@ -107,3 +107,26 @@ def test_group_norm_silu_fused():
 def test_group_norm_bad_groups():
     with pytest.raises(ValueError):
         group_norm(jnp.zeros((1, 2, 2, 6)), num_groups=4, eps=1e-5)
+
+
+def test_flash_attention_multiblock_backward_matches_xla():
+    """Exercises the dk/dv VMEM-accumulator path (several q-blocks)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((1, 1024, 2, 8), dtype=np.float32))
+        for _ in range(3)
+    )
+    from phendiff_tpu.ops.flash_attention import flash_attention
+
+    gf = jax.grad(
+        lambda a, b, c: jnp.sum(flash_attention(a, b, c) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    gx = jax.grad(
+        lambda a, b, c: jnp.sum(attention_xla(a, b, c) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, err_msg=name
+        )
