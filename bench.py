@@ -60,7 +60,7 @@ def bench_train():
     )
 
     cfg = C.super_small().replace(sample_size=RES)
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat = os.environ.get("BENCH_REMAT", "0") == "1"
     model = CondUNet2D(cfg, dtype=jnp.bfloat16, remat=remat)
     x = jnp.zeros((1, RES, RES, 3))
     params = model.init(

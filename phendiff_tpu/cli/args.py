@@ -96,9 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ema_inv_gamma", type=float, default=1.0)
     p.add_argument("--ema_power", type=float, default=0.75)
     p.add_argument("--ema_max_decay", type=float, default=0.9999)
-    # precision
+    # precision / memory
     p.add_argument("--mixed_precision", type=str, default="bf16",
                    choices=("no", "fp16", "bf16"))
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet blocks in backward (memory vs speed)")
     # diffusion
     p.add_argument("--prediction_type", type=str, default=None,
                    choices=PREDICTION_TYPES)

@@ -65,6 +65,7 @@ def trainer_config_from_args(args) -> TrainerConfig:
         checkpoints_total_limit=args.checkpoints_total_limit,
         resume_from_checkpoint=args.resume_from_checkpoint,
         mixed_precision=args.mixed_precision,
+        remat=args.remat,
         compute_metrics=args.compute_fid or args.compute_isc or args.compute_kid,
         train=TrainConfig(
             proba_uncond=args.proba_uncond,
