@@ -89,7 +89,7 @@ class ConditionalDDIMPipeline:
     # -- sampling ----------------------------------------------------------
     def generate(
         self,
-        class_labels: Array,
+        class_labels: Optional[Array],
         rng: Array,
         *,
         num_inference_steps: int = sampler.DEFAULT_NUM_INFERENCE_STEPS,
@@ -99,13 +99,29 @@ class ConditionalDDIMPipeline:
         start_image: Optional[Array] = None,
         add_forward_noise: bool = False,
         frac_diffusion_skipped: float = 0.0,
+        batch_size: Optional[int] = None,
+        unconditional: bool = False,
         params=None,
     ) -> Array:
-        """Sample images for the given class labels; returns [-1,1] NHWC."""
-        b = int(class_labels.shape[0])
+        """Sample images; returns [-1,1] NHWC.
+
+        ``unconditional=True`` (or ``class_labels=None``) samples with a
+        zeros class embedding — the reference's proba_uncond==1 eval mode
+        (``utils_training.py:705-717``) — and is the only mode for models
+        with ``num_class_embeds=None`` (e.g. the orig-google-ddpm config).
+        """
+        if class_labels is None:
+            unconditional = True
+        if unconditional:
+            b = batch_size or (
+                int(class_labels.shape[0]) if class_labels is not None else 1
+            )
+            class_emb = jnp.zeros((b, self.unet_config.time_embed_dim))
+        else:
+            b = int(class_labels.shape[0])
+            class_emb = self.class_embeddings(class_labels, params)
         res = self.unet_config.sample_size
         shape = (b, res, res, self.unet_config.in_channels)
-        class_emb = self.class_embeddings(class_labels, params)
         return sampler.ddim_sample(
             self.denoiser_fn(params),
             self._schedule,

@@ -313,6 +313,7 @@ def for_ddim_pipeline(
             return ema.generate(
                 labels, rng, num_inference_steps=num_inference_steps,
                 guidance_factor=config.eval.guidance_factor,
+                unconditional=config.eval.unconditional,
             )
 
         return generate

@@ -147,3 +147,42 @@ def test_save_load_round_trip(pipe, tmp_path):
     a = pipe.generate(labels, jax.random.key(9), num_inference_steps=2)
     b = loaded.generate(labels, jax.random.key(9), num_inference_steps=2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_unconditional_generation(pipe):
+    """proba_uncond==1 eval mode: zeros class embedding; also the only mode
+    for unconditional configs (num_class_embeds=None)."""
+    out = pipe.generate(
+        None, jax.random.key(11), batch_size=2, num_inference_steps=3
+    )
+    assert out.shape == (2, 16, 16, 3)
+    # equals an explicit zeros-emb pass (not class 0's embedding)
+    cond = pipe.generate(
+        jnp.array([0, 0]), jax.random.key(11), num_inference_steps=3
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(cond))
+
+
+def test_unconditional_model_config_generates():
+    from phendiff_tpu.models import UNet2DConfig
+
+    cfg = UNet2DConfig(
+        sample_size=8,
+        block_out_channels=(8, 8),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        num_class_embeds=None,  # truly unconditional (orig-google-ddpm style)
+    )
+    from phendiff_tpu.models.unet2d import CondUNet2D
+
+    model = CondUNet2D(cfg)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.key(0), x, jnp.array([0]),
+                        class_emb=jnp.zeros((1, cfg.time_embed_dim)))
+    uncond_pipe = ConditionalDDIMPipeline(cfg, SCHED, params)
+    out = uncond_pipe.generate(
+        None, jax.random.key(1), batch_size=2, num_inference_steps=2
+    )
+    assert out.shape == (2, 8, 8, 3)
