@@ -232,6 +232,10 @@ def convert_torch_weights(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
         node[path[-1]] = jnp.asarray(leaf)
 
     for key, val in sd.items():
+        if key.startswith("AuxLogits."):
+            # Real FID-Inception checkpoints carry the training-time auxiliary
+            # classifier; it plays no part in feature extraction.
+            continue
         parts = key.split(".")
         leaf = parts[-1]
         path = parts[:-1]
