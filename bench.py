@@ -41,6 +41,9 @@ STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 MODE = os.environ.get("BENCH_MODE", "transfer")  # transfer | train
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_UTILIZATION = 0.40
+# bf16 peak of the attached chip (v5e-lite), for MFU reporting (progress
+# tracked against hardware, not only against the estimated-A100 line).
+CHIP_PEAK_FLOPS = float(os.environ.get("BENCH_CHIP_PEAK_FLOPS", 197e12))
 
 
 def bench_train():
@@ -166,6 +169,9 @@ def main():
         a100_est = (A100_PEAK_FLOPS * A100_ASSUMED_UTILIZATION) / flops_per_transfer
         vs_baseline = transfers_per_sec / a100_est
 
+    sustained = (
+        transfers_per_sec * flops_per_call / BATCH if flops_per_call else None
+    )
     result = {
         "metric": f"img2img_transfers_per_sec_per_chip_{STEPS}step_{RES}px",
         "value": round(transfers_per_sec, 3),
@@ -175,6 +181,12 @@ def main():
         "device": str(dev),
         "denoise_steps_per_sec": round(transfers_per_sec * 2 * STEPS, 1),
         "flops_per_transfer": flops_per_call / BATCH if flops_per_call else None,
+        # Algorithmic (unpadded) FLOPs/s over the chip's bf16 peak.  The
+        # architecture's D=8 attention heads cap achievable MFU well below
+        # 1.0: the MXU contracts 128 lanes per pass, so each attention
+        # matmul does 8/128 useful work — see docs/BENCHMARKS.md roofline.
+        "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
     }
     print(json.dumps(result))
 

@@ -200,7 +200,12 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest upsample as reshape+broadcast: jax.image.resize lowers
+        # to a gather/while-loop on TPU (profiled at ~1.9 ms/forward on the
+        # flagship); the broadcast form is a pure copy XLA fuses away.
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, h * 2, w * 2, c)
         return nn.Conv(
             self.channels, (3, 3), padding=1, dtype=self.dtype,
             param_dtype=self.param_dtype, name="conv",

@@ -23,6 +23,7 @@ Sample panels are still written via the tracker for human review.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import math
 from typing import Callable, Dict, List, Optional
 
@@ -38,10 +39,14 @@ from phendiff_tpu.pipelines.conditional_ddim import to_images
 
 Array = jax.Array
 
+logger = logging.getLogger(__name__)
+
 
 @dataclasses.dataclass
 class EvalConfig:
-    nb_generated_images: int = 128
+    # Reference default (args_parser.py:222-228): 1000 generated images per
+    # class — enough for a usable FID and for KID's subset_size=1000.
+    nb_generated_images: int = 1000
     eval_batch_size: int = 32
     num_inference_steps: int = 50
     guidance_factor: float = 0.0  # CFG weight used for eval generation
@@ -74,6 +79,28 @@ class Evaluator:
         self.definition = definition
         self.extractor = extractor or InceptionExtractor()
         self.cache = FeatureCache(cache_root) if cache_root else None
+        if not getattr(self.extractor, "pretrained", True):
+            logger.warning(
+                "InceptionV3 is RANDOM-INIT (no pretrained weights found): "
+                "FID/ISC/KID values are not comparable to torch-fidelity or "
+                "across machines, and best-model selection runs on "
+                "random-projection features. Provide a converted weights "
+                "file (metrics/inception.py convert_torch_weights) for "
+                "reference-parity metrics."
+            )
+        cfg = config
+        if cfg.metrics.kid and cfg.nb_generated_images < cfg.metrics.kid_subset_size:
+            logger.warning(
+                "KID will be SKIPPED: nb_generated_images=%d < "
+                "kid_subset_size=%d (reference behavior is a silent skip; "
+                "raise nb_generated_images or lower kid_subset_size).",
+                cfg.nb_generated_images, cfg.metrics.kid_subset_size,
+            )
+        if cfg.metrics.fid and cfg.nb_generated_images < 500:
+            logger.warning(
+                "FID over %d samples is high-variance; the reference "
+                "default is 1000 per class.", cfg.nb_generated_images,
+            )
         # Sharding the label batch over the mesh makes the whole generation
         # scan data-parallel (the TPU-native version of the reference's
         # per-rank eval-batch sharding, utils_training.py:128-139).
@@ -109,9 +136,13 @@ class Evaluator:
         """generate_fn(labels, rng, num_inference_steps) → [-1,1] images."""
         cfg = self.config
         feats, logits, first_batch = [], [], None
-        remaining = cfg.nb_generated_images
-        while remaining > 0:
-            bs = min(cfg.eval_batch_size, remaining)
+        # Always generate FULL batches and trim the surplus at the end: a
+        # ragged tail batch would (a) trigger a second compile of the
+        # sampling scan and (b) silently fall off the device mesh when the
+        # tail is not divisible by the mesh size.
+        n_batches = -(-cfg.nb_generated_images // cfg.eval_batch_size)
+        for _ in range(n_batches):
+            bs = cfg.eval_batch_size
             rng, sub = jax.random.split(rng)
             labels = self.shard_fn(jnp.full((bs,), class_label, dtype=jnp.int32))
             out = generate_fn(labels, sub, cfg.num_inference_steps)
@@ -121,8 +152,12 @@ class Evaluator:
             logits.append(np.asarray(l))
             if first_batch is None:
                 first_batch = np.asarray(imgs01[:50])
-            remaining -= bs
-        return np.concatenate(feats), np.concatenate(logits), first_batch
+        n = cfg.nb_generated_images
+        return (
+            np.concatenate(feats)[:n],
+            np.concatenate(logits)[:n],
+            first_batch,
+        )
 
     # -- full pass ---------------------------------------------------------
     def evaluate(
@@ -156,6 +191,12 @@ class Evaluator:
                 tracker.log_images(f"samples/{name}", panel, step)
         if mains:
             all_metrics["main_metric_mean"] = float(np.mean(mains))
+        # Metric records carry the weight provenance: 1.0 = pinned
+        # FID-Inception weights (torch-fidelity parity), 0.0 = random-init
+        # fallback (values NOT comparable across machines).
+        all_metrics["inception_pretrained"] = float(
+            bool(getattr(self.extractor, "pretrained", False))
+        )
         if tracker is not None:
             tracker.log(all_metrics, step)
         return all_metrics

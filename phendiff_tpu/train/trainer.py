@@ -23,6 +23,7 @@ embed_fn / encode_fn) built by ``for_ddim_pipeline`` / ``for_sd_pipeline``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 import os
 from typing import Callable, Optional, Tuple
@@ -306,16 +307,26 @@ def for_ddim_pipeline(
     def embed_fn(params, labels):
         return params["params"]["class_embedding"]["embedding"][labels]
 
+    # Jitted ONCE per trainer with the EMA tree as a traced argument: the
+    # 50-step sampling scan would otherwise re-trace on every eval pass
+    # (each eval builds a fresh closure over new EMA params).  Repeat evals
+    # and repeat batches of the same shape reuse the compiled executable.
+    @functools.partial(jax.jit, static_argnames=("num_inference_steps",))
+    def _generate_jit(ema_params, labels, rng, num_inference_steps):
+        return pipe.generate(
+            labels, rng, num_inference_steps=num_inference_steps,
+            guidance_factor=config.eval.guidance_factor,
+            unconditional=config.eval.unconditional,
+            params=ema_params,
+        )
+
     def generate_fn_builder(state: TrainState):
-        ema = pipe.replace_params(state.ema_params)
+        ema_params = state.ema_params
 
         def generate(labels, rng, num_inference_steps):
-            return ema.generate(
-                labels, rng, num_inference_steps=num_inference_steps,
-                guidance_factor=config.eval.guidance_factor,
-                unconditional=config.eval.unconditional,
-            )
+            return _generate_jit(ema_params, labels, rng, num_inference_steps)
 
+        generate.jitted = _generate_jit
         return generate
 
     def save_pipeline_fn(state: TrainState, dirpath: str):
@@ -382,18 +393,27 @@ def for_sd_pipeline(
 
         return encode_to_latents(pipe.vae, vae_params, images, rng)
 
-    def generate_fn_builder(state: TrainState):
+    # Jitted once with the EMA trees as traced arguments (see the DDIM
+    # builder's note); replace_params inside the trace just rebinds the
+    # pytree leaves — the sampling scan compiles one time per shape.
+    @functools.partial(jax.jit, static_argnames=("num_inference_steps",))
+    def _generate_jit(ema_params, labels, rng, num_inference_steps):
         ema = pipe.replace_params(
-            unet_params=state.ema_params["unet"],
-            class_embedding_params=state.ema_params["class_embedding"],
+            unet_params=ema_params["unet"],
+            class_embedding_params=ema_params["class_embedding"],
+        )
+        return ema.generate(
+            labels, rng, num_inference_steps=num_inference_steps,
+            guidance_scale=config.eval.guidance_factor,
         )
 
-        def generate(labels, rng, num_inference_steps):
-            return ema.generate(
-                labels, rng, num_inference_steps=num_inference_steps,
-                guidance_scale=config.eval.guidance_factor,
-            )
+    def generate_fn_builder(state: TrainState):
+        ema_params = state.ema_params
 
+        def generate(labels, rng, num_inference_steps):
+            return _generate_jit(ema_params, labels, rng, num_inference_steps)
+
+        generate.jitted = _generate_jit
         return generate
 
     def save_pipeline_fn(state: TrainState, dirpath: str):
