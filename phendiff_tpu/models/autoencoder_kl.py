@@ -168,7 +168,11 @@ class Decoder(nn.Module):
                 x = VAEResnet(c_out, g, self.dtype, name=f"up_{i}_res_{j}")(x)
             if i < len(rev) - 1:
                 b, hh, ww, c = x.shape
-                x = jax.image.resize(x, (b, hh * 2, ww * 2, c), method="nearest")
+                # reshape/broadcast 2x nearest upsample (jax.image.resize
+                # lowers to a gather loop on TPU — see unet2d.Upsample2D)
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :], (b, hh, 2, ww, 2, c)
+                ).reshape(b, hh * 2, ww * 2, c)
                 x = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
                             name=f"up_{i}_upsample")(x)
         c_last = rev[-1]
