@@ -1,0 +1,129 @@
+"""Worker process for the multi-host (multi-process) distributed test.
+
+Each process owns 2 virtual CPU devices and sees a 4-device global mesh:
+the real ``jax.distributed`` path — per-process loader shards feeding
+``shard_batch``'s ``make_array_from_process_local_data`` branch, one
+data-parallel train step, and one sharded eval generation (the TPU-native
+replacement for the reference's accelerate/DDP multi-GPU launch,
+``examples/examples_training_scripts/launch_script_DDIM.sh:19-37``).
+
+Run by tests/test_multihost.py; not a pytest file itself.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num_processes", type=int, required=True)
+    ap.add_argument("--process_id", type=int, required=True)
+    ap.add_argument("--data_dir", required=True)
+    ap.add_argument("--out", required=True)
+    args = ap.parse_args()
+
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    )
+
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert jax.process_count() == args.num_processes
+    assert len(jax.devices()) == 2 * args.num_processes  # global view
+    assert len(jax.local_devices()) == 2
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.data.imagefolder import (
+        ImageFolderLoader, LoaderConfig, scan_imagefolder,
+    )
+    from phendiff_tpu.models import CondUNet2D, UNet2DConfig
+    from phendiff_tpu.parallel import make_mesh, replicated, shard_batch
+    from phendiff_tpu.pipelines import ConditionalDDIMPipeline
+    from phendiff_tpu.train.train_loop import (
+        OptimizerConfig, TrainConfig, init_train_state, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = UNet2DConfig(
+        sample_size=16, block_out_channels=(8, 8),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4, num_class_embeds=2,
+    )
+    sched = SchedulerConfig(num_train_timesteps=20, clip_sample=False)
+    mesh = make_mesh()  # all 4 global devices
+
+    # --- per-process loader shard → global batch ---------------------------
+    index = scan_imagefolder(args.data_dir)
+    loader = ImageFolderLoader(index, LoaderConfig(
+        batch_size=8,  # LOCAL batch per process → global 16
+        definition=(16, 16), seed=3,
+        num_shards=args.num_processes, shard_index=args.process_id,
+    ))
+    images, labels = next(loader.epoch(0))
+    batch = shard_batch(mesh, (images, labels))
+    # the assembled arrays are GLOBAL: local shards stack over processes
+    assert batch[0].shape[0] == 8 * args.num_processes
+
+    # --- one data-parallel train step --------------------------------------
+    model = CondUNet2D(cfg)
+    params = model.init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 3)), jnp.array([0]),
+        class_labels=jnp.array([0]),
+    )
+    tcfg = TrainConfig(proba_uncond=0.1,
+                       optimizer=OptimizerConfig(learning_rate=1e-4))
+    opt = make_optimizer(tcfg.optimizer)
+    step_fn = make_train_step(
+        lambda p, x, t, ce: model.apply(p, x, t, class_emb=ce),
+        lambda p, l: p["params"]["class_embedding"]["embedding"][l],
+        make_schedule(sched), tcfg, opt,
+    )
+    state = jax.device_put(init_train_state(params, opt), replicated(mesh))
+    state, metrics = jax.jit(step_fn)(state, batch, jax.random.key(1))
+    loss = float(metrics["loss"])  # replicated scalar: addressable everywhere
+
+    # --- one sharded eval generation ----------------------------------------
+    pipe = ConditionalDDIMPipeline.init_random(cfg, sched, seed=0)
+    gen_labels_local = np.tile(
+        np.array([0, 1], dtype=np.int32), 2
+    )  # local (4,) → global (8,)
+    glabels = shard_batch(mesh, gen_labels_local)
+    imgs = jax.jit(
+        lambda p, l, r: pipe.generate(l, r, num_inference_steps=2, params=p)
+    )(jax.device_put(pipe.params, replicated(mesh)), glabels, jax.random.key(2))
+    local = np.concatenate(
+        [np.asarray(s.data) for s in imgs.addressable_shards]
+    )
+    assert np.isfinite(local).all()
+    assert imgs.shape == (8, 16, 16, 3)
+
+    with open(args.out, "w") as f:
+        json.dump({
+            "process_id": args.process_id,
+            "process_count": jax.process_count(),
+            "global_devices": len(jax.devices()),
+            "loss": loss,
+            "step": int(state.step),
+            "gen_local_shape": list(local.shape),
+        }, f)
+    print(f"worker {args.process_id} ok: loss={loss:.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -22,3 +22,20 @@ def test_entry_signature():
 
     assert callable(ge.entry)
     assert list(inspect.signature(ge.dryrun_multichip).parameters) == ["n_devices"]
+
+
+def test_entry_traces(monkeypatch):
+    """Trace entry()'s fn abstractly (jax.eval_shape: no FLOPs, no 128px
+    init cost) — catches import-time and tracing breakage the signature
+    check cannot (VERDICT r1 weak #6).  The flagship config is shrunk to
+    keep init cheap; entry() itself must still build the real thing."""
+    from phendiff_tpu.models import config as C
+
+    small = C.super_small().replace(
+        sample_size=32, block_out_channels=(8, 8, 8), norm_num_groups=4,
+        attention_head_dim=4,
+    )
+    monkeypatch.setattr(C, "super_small", lambda: small)
+    fn, args = ge.entry()
+    out = jax.eval_shape(fn, *args)
+    assert out.shape == args[0].shape
