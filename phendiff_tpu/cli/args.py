@@ -37,7 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # experiment naming / dirs
     p.add_argument("--exp_output_dirs_parent_folder", type=str, default="experiments")
-    p.add_argument("--project", type=str, default="phendiff-tpu")
+    p.add_argument("--experiment_name", "--project", dest="experiment_name",
+                   type=str, default="phendiff-tpu",
+                   help="experiment-specific folder (and tracker project) name")
     p.add_argument("--run_name", type=str, required=True)
     # model selection
     p.add_argument("--model_type", type=str, choices=MODEL_TYPES, required=True)
@@ -48,10 +50,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attention_fine_tuning", action="store_true",
                    help="fine-tune attention layers only")
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
+    p.add_argument("--learn_denoiser_from_scratch", action="store_true",
+                   help="keep the pretrained pipeline's config/VAE but "
+                        "re-initialize the denoiser weights")
+    p.add_argument("--revision", type=str, default=None,
+                   help="accepted for interface parity; pretrained loads are "
+                        "local directories here (zero-egress)")
     p.add_argument("--denoiser_config_path", type=str, default=None)
     p.add_argument("--noise_scheduler_config_path", type=str, default=None)
-    # data
-    p.add_argument("--train_data_dir", type=str, required=True)
+    # data — local imagefolder OR a HuggingFace dataset
+    p.add_argument("--train_data_dir", type=str, default=None)
+    p.add_argument("--dataset_name", type=str, default=None,
+                   help="HF dataset (local arrow/imagefolder path or hub id)")
+    p.add_argument("--dataset_config_name", type=str, default=None)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--cache_dir", type=str, default=None)
     p.add_argument("--perc_samples", type=float, default=100.0)
     p.add_argument("--definition", type=parse_definition, default=(128, 128))
     p.add_argument("--data_aug_on_the_fly", action="store_true", default=True)
@@ -60,12 +73,21 @@ def build_parser() -> argparse.ArgumentParser:
     # batch / schedule
     p.add_argument("--train_batch_size", type=int, default=16)
     p.add_argument("--eval_batch_size", type=int, default=16)
-    p.add_argument("--num_epochs", type=int, default=100)
+    p.add_argument("--max_num_epochs", "--num_epochs", dest="num_epochs",
+                   type=int, default=100)
     p.add_argument("--max_num_steps", type=int, default=None)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     # eval cadence
     p.add_argument("--eval_save_model_every_epochs", type=int, default=None)
     p.add_argument("--eval_save_model_every_opti_steps", type=int, default=None)
+    p.add_argument("--precise_first_n_epochs", type=int, default=None,
+                   help="additionally evaluate every epoch during the first "
+                        "n epochs")
+    p.add_argument("--compute_metrics_full_dataset", action="store_true",
+                   default=True,
+                   help="metrics vs the full (non-subsampled) dataset")
+    p.add_argument("--no_compute_metrics_full_dataset",
+                   dest="compute_metrics_full_dataset", action="store_false")
     p.add_argument("--nb_generated_images", type=int, default=1000)
     p.add_argument("--num_inference_steps", type=int, default=50)
     p.add_argument("--compute_fid", action="store_true", default=True)
@@ -116,7 +138,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tracker", type=str, default="jsonl",
                    choices=("jsonl", "wandb", "none"))
+    p.add_argument("--logger", type=str, default=None,
+                   help="reference alias: 'wandb' selects the wandb tracker")
+    p.add_argument("--wandb_entity", type=str, default=None)
     p.add_argument("--debug", action="store_true")
+    # -- torch/accelerate-mechanics flags: accepted so reference launch
+    # scripts keep working; mapped to TPU-native equivalents or warned as
+    # no-ops by check_args (SURVEY.md flag-parity note).
+    p.add_argument("--dataloader_num_workers", type=int, default=None)
+    p.add_argument("--dataloader_prefetch_factor", type=int, default=None)
+    p.add_argument("--persistent_workers", action="store_true", default=None)
+    p.add_argument("--pin_memory", action="store_true", default=None)
+    p.add_argument("--use_pytorch_loader", action="store_true", default=True)
+    p.add_argument("--local_rank", type=int, default=None)
+    # -- hub publishing: no-ops in a zero-egress deployment
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--hub_private_repo", action="store_true")
+    p.add_argument("--hub_token", type=str, default=None)
     return p
 
 
@@ -128,12 +167,64 @@ MAIN_METRIC_NAMES = {
 
 
 def check_args(args) -> List[str]:
-    """Cross-flag invariants (reference ``args_checker``); returns a list of
-    warnings, raises ValueError on hard errors."""
+    """Cross-flag invariants (the full set of the reference's
+    ``args_checker``, utils_misc.py:74-191, minus torch-only ones); returns
+    a list of warnings, raises ValueError on hard errors."""
     warnings: List[str] = []
+
+    # data source (args_checker :80-84)
+    if args.dataset_name is None and args.train_data_dir is None:
+        raise ValueError(
+            "You must specify either a dataset name (--dataset_name) or a "
+            "train data directory (--train_data_dir)."
+        )
+
+    # CFG activation conditions (:86-96)
+    if args.guidance_factor is not None and args.guidance_factor <= 1:
+        warnings.append(
+            "guidance_factor <= 1: CFG will not be performed under the "
+            "Imagen guidance equation"
+            + ("" if args.guidance_factor > 0
+               else " (nor under the CFG-paper equation)")
+        )
+
+    # fully-unconditional training (:97-109)
+    if not 0 <= args.proba_uncond <= 1:
+        raise ValueError("proba_uncond must be in [0,1]")
+    if args.proba_uncond == 1:
+        warnings.append(
+            "proba_uncond == 1: the model will be trained unconditionally"
+        )
+        if args.model_type == "DDIM" and args.guidance_factor:
+            raise ValueError(
+                "guidance must be disabled (0) for unconditional training"
+            )
+        if args.model_type == "StableDiffusion":
+            raise NotImplementedError(
+                "unconditional StableDiffusion training is not supported "
+                "(reference parity: utils_misc.py:106-108)"
+            )
+    if args.proba_uncond > 0 and not args.guidance_factor:
+        warnings.append(
+            "training with CFG dropout but guidance_factor=0 at eval"
+        )
+
+    # KID needs enough generated samples (:115-123); debug shrinks both
+    if (
+        args.compute_kid
+        and args.nb_generated_images < args.kid_subset_size
+        and not args.debug
+    ):
+        raise ValueError(
+            f"nb_generated_images (={args.nb_generated_images}) must be >= "
+            f"kid_subset_size (={args.kid_subset_size})"
+        )
+
     if args.gradient_accumulation_steps != 1:
-        # hard error in the reference too (utils_misc.py:123-124)
+        # hard error in the reference too (:123-124)
         raise ValueError("gradient accumulation is not supported")
+
+    # component/model compatibility (:131-144)
     if args.model_type == "DDIM":
         if "autoencoder" in args.components_to_train:
             raise ValueError("DDIM has no autoencoder component")
@@ -141,32 +232,77 @@ def check_args(args) -> List[str]:
             raise ValueError(
                 "DDIM's class embedding lives inside the denoiser; train 'denoiser'"
             )
+
+    # pretrained vs config exclusivity (:146-168)
+    if (
+        args.pretrained_model_name_or_path is not None
+        and args.denoiser_config_path is not None
+        and not args.learn_denoiser_from_scratch
+    ):
+        raise ValueError(
+            "cannot set both pretrained_model_name_or_path and "
+            "denoiser_config_path (unless --learn_denoiser_from_scratch)"
+        )
     if args.model_type == "StableDiffusion":
         if args.pretrained_model_name_or_path is None:
             raise ValueError("StableDiffusion requires --pretrained_model_name_or_path")
-    if args.model_type == "DDIM" and not (
-        args.pretrained_model_name_or_path or args.denoiser_config_path
-    ):
-        raise ValueError(
-            "DDIM needs --pretrained_model_name_or_path or --denoiser_config_path"
-        )
-    if not 0 <= args.proba_uncond <= 1:
-        raise ValueError("proba_uncond must be in [0,1]")
-    if args.proba_uncond > 0 and args.guidance_factor == 0:
-        warnings.append(
-            "training with CFG dropout but guidance_factor=0 at eval"
-        )
-    if args.main_metric == "isc" and not args.compute_isc:
-        raise ValueError("main_metric isc requires --compute_isc")
-    if args.main_metric == "kid" and not args.compute_kid:
-        raise ValueError("main_metric kid requires --compute_kid")
+    if args.model_type == "DDIM" and args.pretrained_model_name_or_path is None:
+        if args.denoiser_config_path is None:
+            raise ValueError(
+                "if not using a pretrained model, a denoiser config must be "
+                "provided (--denoiser_config_path)"
+            )
+        if args.noise_scheduler_config_path is None:
+            warnings.append(
+                "no --noise_scheduler_config_path: using the default DDIM "
+                "schedule (the reference requires an explicit config here)"
+            )
+
+    # subsampling (:170-178)
+    if args.perc_samples is not None and not 0 < args.perc_samples <= 100:
+        raise ValueError("perc_samples must be in ]0; 100]")
+
+    # run-length and eval cadence must be bounded (:180-188)
+    if args.num_epochs is None and args.max_num_steps is None:
+        raise ValueError("either max_num_epochs or max_num_steps must be set")
     if (
         args.eval_save_model_every_epochs is None
         and args.eval_save_model_every_opti_steps is None
     ):
-        warnings.append("no eval cadence set; model will only be saved at the end")
+        raise ValueError(
+            "either --eval_save_model_every_epochs or "
+            "--eval_save_model_every_opti_steps must be set (the reference "
+            "asserts the same; --debug sets a cadence automatically)"
+        )
+
+    # metric selection consistency
+    if args.main_metric == "isc" and not args.compute_isc:
+        raise ValueError("main_metric isc requires --compute_isc")
+    if args.main_metric == "kid" and not args.compute_kid:
+        raise ValueError("main_metric kid requires --compute_kid")
+
+    # torch/accelerate-mechanics flags: map or warn (docstring contract)
     if args.mixed_precision == "fp16":
         warnings.append("fp16 mapped to bf16 on TPU (no loss scaling needed)")
+    if args.logger == "wandb" and args.tracker != "wandb":
+        args.tracker = "wandb"
+        warnings.append("--logger wandb mapped to --tracker wandb")
+    if args.dataloader_num_workers is not None:
+        warnings.append(
+            "--dataloader_num_workers ignored (loader uses a prefetch "
+            "thread + native batch kernels)"
+        )
+    for flag in ("persistent_workers", "pin_memory", "local_rank"):
+        if getattr(args, flag) is not None:
+            warnings.append(f"--{flag} ignored (torch/accelerate mechanics)")
+    if args.push_to_hub or args.hub_model_id or args.hub_token:
+        warnings.append(
+            "hub publishing flags are no-ops in this zero-egress deployment"
+        )
+    if args.revision is not None:
+        warnings.append(
+            "--revision ignored: pretrained paths are local directories"
+        )
     return warnings
 
 

@@ -84,9 +84,29 @@ def load_initial_pipeline(args, dtype=jnp.float32):
         sched_cfg = override_scheduler_config(
             pipe.scheduler_config, args, args.noise_scheduler_config_path
         )
+        unet_params = pipe.unet_params
+        if getattr(args, "learn_denoiser_from_scratch", False):
+            # keep the pretrained VAE + class embedding, but re-initialize
+            # the denoiser from its config — or from an explicit override
+            # (reference: utils_models.py:87-104)
+            import jax as _jax
+
+            from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+
+            if args.denoiser_config_path:
+                unet_cfg = SDUNetConfig.from_json(
+                    args.denoiser_config_path
+                ).replace(sample_size=definition // 8)
+            fresh = SDUNet(unet_cfg, dtype=dtype)
+            unet_params = fresh.init(
+                _jax.random.key(args.seed),
+                jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
+                jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, 77, unet_cfg.cross_attention_dim)),
+            )
         return SDImg2ImgPipeline(
             unet_cfg, pipe.vae_config, sched_cfg, pipe.num_classes,
-            pipe.class_embedding_dim, pipe.unet_params, pipe.vae_params,
+            pipe.class_embedding_dim, unet_params, pipe.vae_params,
             pipe.class_embedding_params, dtype=dtype,
         )
     raise ValueError(f"unknown model_type: {args.model_type}")

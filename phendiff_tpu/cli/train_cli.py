@@ -39,7 +39,7 @@ def banner(args, warnings):
     print("=" * 70)
     print(f" phendiff-tpu train :: {args.run_name}")
     print(f"   model_type={args.model_type} components={args.components_to_train}")
-    print(f"   data={args.train_data_dir} definition={args.definition} "
+    print(f"   data={args.dataset_name or args.train_data_dir} definition={args.definition} "
           f"perc={args.perc_samples}%")
     print(f"   batch={args.train_batch_size} epochs={args.num_epochs} "
           f"lr={args.learning_rate} precision={args.mixed_precision}")
@@ -52,15 +52,22 @@ def banner(args, warnings):
 def trainer_config_from_args(args) -> TrainerConfig:
     return TrainerConfig(
         train_data_dir=args.train_data_dir,
+        dataset_name=args.dataset_name,
+        dataset_config_name=args.dataset_config_name,
+        split=args.split,
+        cache_dir=args.cache_dir,
         definition=tuple(args.definition),
         perc_samples=args.perc_samples,
+        compute_metrics_full_dataset=args.compute_metrics_full_dataset,
         seed=args.seed,
         data_aug_on_the_fly=args.data_aug_on_the_fly,
+        loader_prefetch=args.dataloader_prefetch_factor or 2,
         train_batch_size=args.train_batch_size,
         num_epochs=args.num_epochs,
         max_train_steps=args.max_num_steps,
         eval_every_epochs=args.eval_save_model_every_epochs,
         eval_every_opti_steps=args.eval_save_model_every_opti_steps,
+        precise_first_n_epochs=args.precise_first_n_epochs,
         checkpointing_steps=args.checkpointing_steps,
         checkpoints_total_limit=args.checkpoints_total_limit,
         resume_from_checkpoint=args.resume_from_checkpoint,
@@ -106,16 +113,17 @@ def trainer_config_from_args(args) -> TrainerConfig:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    warnings = check_args(args)
+    # debug downscaling first: it sets an eval cadence and shrinks
+    # nb_generated_images, both of which check_args validates
     if args.debug:
         modify_args_for_debug(args)
-        check_args(args)
+    warnings = check_args(args)
     banner(args, warnings)
 
     policy = Policy.from_mixed_precision(args.mixed_precision)
     pipeline = load_initial_pipeline(args, dtype=policy.compute_jnp)
     paths = RunPaths.create(
-        args.exp_output_dirs_parent_folder, args.project, args.run_name
+        args.exp_output_dirs_parent_folder, args.experiment_name, args.run_name
     )
     config = trainer_config_from_args(args)
     if isinstance(pipeline, ConditionalDDIMPipeline):

@@ -98,6 +98,28 @@ class HFDatasetAdapter:
             yield imgs, labels
 
 
+    # -- evaluation support (mirrors DatasetIndex/ImageFolderLoader) --------
+    def for_class(self, class_label: int) -> "HFDatasetAdapter":
+        """Adapter restricted to one class (Evaluator reference features)."""
+        sub = self.dataset.filter(
+            lambda l: int(l) == int(class_label), input_columns=self.label_key
+        )
+        return HFDatasetAdapter(sub, self.config, self.image_key, self.label_key)
+
+    def raw_images(
+        self, batch_size: int, definition: Tuple[int, int]
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Sequential un-shuffled uint8 pass (metrics reference stream)."""
+        n = len(self.dataset)
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            rows = self.dataset[idxs]
+            raws = [_to_uint8_rgb(im) for im in rows[self.image_key]]
+            labels = np.asarray(rows[self.label_key], dtype=np.int32)
+            imgs = np.stack([native.resize_u8(r, definition) for r in raws])
+            yield imgs, labels
+
+
 def load_hf_imagefolder(
     path: str, config: LoaderConfig, split: str = "train",
     image_key: str = "image", label_key: str = "label",
@@ -106,4 +128,39 @@ def load_hf_imagefolder(
     import datasets
 
     ds = datasets.load_dataset("imagefolder", data_dir=path, split=split)
+    return HFDatasetAdapter(ds, config, image_key, label_key)
+
+
+def load_hf_dataset(
+    name: str, config: LoaderConfig, *, split: str = "train",
+    config_name: Optional[str] = None, cache_dir: Optional[str] = None,
+    image_key: str = "image", label_key: str = "label",
+) -> HFDatasetAdapter:
+    """Load any HF dataset by name/path (the reference's --dataset_name /
+    --dataset_config_name / --split / --cache_dir surface).
+
+    A local directory of class subfolders loads as an "imagefolder"; an
+    arrow dataset on disk loads directly; anything else is treated as a
+    hub id (which requires network access).
+    """
+    import os
+
+    import datasets
+
+    if os.path.isdir(name):
+        if os.path.exists(os.path.join(name, "dataset_info.json")) or any(
+            f.endswith(".arrow") for f in os.listdir(name)
+        ):
+            ds = datasets.load_from_disk(name)
+            if isinstance(ds, datasets.DatasetDict):
+                ds = ds[split] if split else ds[next(iter(ds))]
+        else:
+            ds = datasets.load_dataset(
+                "imagefolder", data_dir=name, split=split or "train",
+                cache_dir=cache_dir,
+            )
+    else:
+        ds = datasets.load_dataset(
+            name, config_name, split=split or "train", cache_dir=cache_dir
+        )
     return HFDatasetAdapter(ds, config, image_key, label_key)

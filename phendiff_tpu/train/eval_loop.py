@@ -109,19 +109,25 @@ class Evaluator:
     # -- reference features (cached per class) -----------------------------
     def _reference_features(self, class_label: int, class_name: str):
         def compute():
-            idx = self.raw_index.for_class(class_label)
-            loader = ImageFolderLoader(
-                idx,
-                LoaderConfig(
-                    batch_size=self.config.eval_batch_size,
-                    definition=self.definition,
-                    normalize=False,
-                    shuffle=False,
-                    drop_last=False,
-                ),
-            )
+            src = self.raw_index.for_class(class_label)
+            if isinstance(src, DatasetIndex):
+                loader = ImageFolderLoader(
+                    src,
+                    LoaderConfig(
+                        batch_size=self.config.eval_batch_size,
+                        definition=self.definition,
+                        normalize=False,
+                        shuffle=False,
+                        drop_last=False,
+                    ),
+                )
+                stream = loader.all_images()
+            else:  # HFDatasetAdapter (duck-typed raw_images())
+                stream = src.raw_images(
+                    self.config.eval_batch_size, self.definition
+                )
             feats, _ = self.extractor.features_for(
-                batch.astype(np.float32) / 255.0 for batch, _ in loader.all_images()
+                batch.astype(np.float32) / 255.0 for batch, _ in stream
             )
             return {"features": feats}
 

@@ -90,16 +90,29 @@ class RunPaths:
 class TrainerConfig:
     # data (reference args: train_data_dir, definition, perc_samples, ...)
     train_data_dir: str = ""
+    # HF-datasets route (reference --dataset_name/--split, which the
+    # reference itself stubs with NotImplementedError): local arrow /
+    # imagefolder path or hub id, loaded via data/hf_datasets.py
+    dataset_name: Optional[str] = None
+    dataset_config_name: Optional[str] = None
+    split: str = "train"
+    cache_dir: Optional[str] = None
     definition: Tuple[int, int] = (128, 128)
     perc_samples: float = 100.0
+    # metrics reference set: full dataset (reference default) vs the
+    # perc_samples-subsampled training set
+    compute_metrics_full_dataset: bool = True
     seed: int = 0
     data_aug_on_the_fly: bool = True
+    loader_prefetch: int = 2
     train_batch_size: int = 16
     # run control
     num_epochs: int = 10
     max_train_steps: Optional[int] = None
     eval_every_epochs: Optional[int] = 1
     eval_every_opti_steps: Optional[int] = None
+    # additionally eval every epoch during the first n epochs
+    precise_first_n_epochs: Optional[int] = None
     checkpointing_steps: int = 1000
     checkpoints_total_limit: Optional[int] = None
     resume_from_checkpoint: Optional[str] = None  # "latest" or a step number
@@ -168,30 +181,52 @@ class Trainer:
         self.save_pipeline_fn = save_pipeline_fn
         self.best_metric = get_initial_best_metric()
 
-        # data
-        index = scan_imagefolder(config.train_data_dir)
-        if config.perc_samples < 100:
-            index = balanced_subsample(index, config.perc_samples, config.seed)
-        self.index = index
-        # per-host shard of the global batch (multi-host: each process loads
-        # 1/process_count of every batch; shard_batch assembles the global
-        # array — replaces the reference's per-rank DataLoader + DDP)
-        self.loader = ImageFolderLoader(
-            index,
-            LoaderConfig(
-                batch_size=config.train_batch_size // jax.process_count(),
-                definition=config.definition,
-                random_flip=config.data_aug_on_the_fly,
-                seed=config.seed,
-                num_shards=jax.process_count(),
-                shard_index=jax.process_index(),
-            ),
+        # data — per-host shard of the global batch (multi-host: each
+        # process loads 1/process_count of every batch; shard_batch
+        # assembles the global array — replaces the reference's per-rank
+        # DataLoader + DDP)
+        loader_cfg = LoaderConfig(
+            batch_size=config.train_batch_size // jax.process_count(),
+            definition=config.definition,
+            random_flip=config.data_aug_on_the_fly,
+            seed=config.seed,
+            prefetch=config.loader_prefetch,
+            num_shards=jax.process_count(),
+            shard_index=jax.process_index(),
         )
+        if config.dataset_name is not None:
+            from phendiff_tpu.data.hf_datasets import load_hf_dataset
+
+            if config.perc_samples < 100:
+                raise NotImplementedError(
+                    "perc_samples subsampling is not supported on the "
+                    "HF-datasets route yet; use an imagefolder"
+                )
+            adapter = load_hf_dataset(
+                config.dataset_name, loader_cfg, split=config.split,
+                config_name=config.dataset_config_name,
+                cache_dir=config.cache_dir,
+            )
+            self.index = adapter
+            self.loader = adapter
+            eval_index = adapter
+        else:
+            full_index = scan_imagefolder(config.train_data_dir)
+            index = full_index
+            if config.perc_samples < 100:
+                index = balanced_subsample(
+                    full_index, config.perc_samples, config.seed
+                )
+            self.index = index
+            self.loader = ImageFolderLoader(index, loader_cfg)
+            eval_index = (
+                full_index if config.compute_metrics_full_dataset else index
+            )
         self.evaluator = None
         if config.compute_metrics:
             self.evaluator = Evaluator(
                 config.eval,
-                index,
+                eval_index,
                 config.definition,
                 cache_root=self.paths.fidelity_cache,
                 shard_fn=lambda labels: (
@@ -276,7 +311,14 @@ class Trainer:
                 if cfg.max_train_steps and global_step >= cfg.max_train_steps:
                     done = True
                     break
-            if cfg.eval_every_epochs and (epoch + 1) % cfg.eval_every_epochs == 0:
+            precise = (
+                cfg.precise_first_n_epochs is not None
+                and epoch < cfg.precise_first_n_epochs
+            )
+            if precise or (
+                cfg.eval_every_epochs
+                and (epoch + 1) % cfg.eval_every_epochs == 0
+            ):
                 self._run_eval(global_step)
             if done:
                 break

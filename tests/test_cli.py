@@ -21,6 +21,7 @@ def parse(extra):
         "--run_name", "t", "--model_type", "DDIM",
         "--train_data_dir", "/tmp/x",
         "--denoiser_config_path", "/tmp/d.json",
+        "--eval_save_model_every_epochs", "1",
     ]
     return A.build_parser().parse_args(base + extra)
 
@@ -56,6 +57,91 @@ def test_checker_requires_model_source():
     args.denoiser_config_path = None
     with pytest.raises(ValueError):
         A.check_args(args)
+
+
+def test_checker_requires_data_source():
+    """args_checker :80-84: dataset_name or train_data_dir."""
+    args = parse([])
+    args.train_data_dir = None
+    with pytest.raises(ValueError, match="dataset name"):
+        A.check_args(args)
+    args.dataset_name = "/some/hf/dataset"
+    A.check_args(args)  # ok now
+
+
+def test_checker_requires_eval_cadence():
+    """args_checker :184-188: an eval cadence is mandatory."""
+    args = parse([])
+    args.eval_save_model_every_epochs = None
+    with pytest.raises(ValueError, match="eval_save_model"):
+        A.check_args(args)
+
+
+def test_checker_kid_subset_invariant():
+    """args_checker :115-123: nb_generated >= kid_subset unless debug."""
+    args = parse(["--compute_kid", "--nb_generated_images", "100",
+                  "--kid_subset_size", "1000"])
+    with pytest.raises(ValueError, match="kid_subset_size"):
+        A.check_args(args)
+    args.debug = True
+    A.check_args(args)  # debug mode shrinks both later
+
+
+def test_checker_pretrained_config_exclusive():
+    """args_checker :146-157: pretrained xor denoiser config, unless
+    learning the denoiser from scratch."""
+    args = parse(["--pretrained_model_name_or_path", "/some/pipe"])
+    with pytest.raises(ValueError, match="pretrained"):
+        A.check_args(args)
+    args.learn_denoiser_from_scratch = True
+    A.check_args(args)  # allowed: config overrides the reinit architecture
+
+
+def test_checker_unconditional():
+    """args_checker :97-109: proba_uncond==1 semantics."""
+    args = parse(["--proba_uncond", "1.0"])
+    w = A.check_args(args)
+    assert any("unconditionally" in x for x in w)
+    args = parse(["--proba_uncond", "1.0", "--guidance_factor", "5.0"])
+    with pytest.raises(ValueError, match="unconditional"):
+        A.check_args(args)
+
+
+def test_checker_perc_samples_range():
+    args = parse(["--perc_samples", "0"])
+    with pytest.raises(ValueError, match="perc_samples"):
+        A.check_args(args)
+
+
+def test_torch_mechanics_flags_accepted_with_warnings():
+    """Reference launch scripts keep working: torch/accelerate flags parse
+    and warn instead of erroring."""
+    args = parse([
+        "--dataloader_num_workers", "8", "--pin_memory", "--local_rank", "0",
+        "--push_to_hub", "--hub_model_id", "x/y", "--revision", "fp16",
+        "--use_pytorch_loader",
+    ])
+    w = A.check_args(args)
+    joined = " ".join(w)
+    assert "dataloader_num_workers" in joined
+    assert "pin_memory" in joined
+    assert "zero-egress" in joined
+    assert "--revision" in joined
+
+
+def test_logger_flag_maps_to_tracker():
+    args = parse(["--logger", "wandb"])
+    w = A.check_args(args)
+    assert args.tracker == "wandb"
+    assert any("--logger wandb" in x for x in w)
+
+
+def test_reference_alias_flags():
+    """--experiment_name/--project and --max_num_epochs/--num_epochs."""
+    args = parse(["--experiment_name", "expA", "--max_num_epochs", "7"])
+    assert args.experiment_name == "expA" and args.num_epochs == 7
+    args = parse(["--project", "expB", "--num_epochs", "9"])
+    assert args.experiment_name == "expB" and args.num_epochs == 9
 
 
 def test_debug_downscaling():
