@@ -61,7 +61,9 @@ static inline void sample_triangle(
   const int y_hi = (int)std::floor(cy + ry + 0.5f);
   const int x_lo = (int)std::floor(cx - rx + 0.5f);
   const int x_hi = (int)std::floor(cx + rx + 0.5f);
-  float acc[16] = {0};
+  // accumulate directly into `out` (caller-sized: any channel count is
+  // safe — no fixed-size stack buffer to overflow)
+  for (int c = 0; c < ch; ++c) out[c] = 0.0f;
   float wsum = 0.0f;
   for (int y = y_lo; y < y_hi; ++y) {
     const int yc = std::min(std::max(y, 0), sh - 1);
@@ -73,12 +75,12 @@ static inline void sample_triangle(
       if (wx <= 0) continue;
       const float w = wy * wx;
       const uint8_t* p = src + (yc * sw + xc) * ch;
-      for (int c = 0; c < ch; ++c) acc[c] += w * p[c];
+      for (int c = 0; c < ch; ++c) out[c] += w * p[c];
       wsum += w;
     }
   }
   const float inv = wsum > 0 ? 1.0f / wsum : 0.0f;
-  for (int c = 0; c < ch; ++c) out[c] = acc[c] * inv;
+  for (int c = 0; c < ch; ++c) out[c] *= inv;
 }
 
 // Resize one HWC uint8 image to (dh, dw) float32, optionally normalizing to
@@ -90,7 +92,15 @@ void resize_image_f32(
   const float sy = (float)sh / dh;
   const float sx = (float)sw / dw;
   const bool use_triangle = antialias && (sy > 1.0f || sx > 1.0f);
-  float px[16];
+  // stack buffer for the common small-channel case; heap for wide images
+  // (multi-channel microscopy stacks can exceed 16 channels)
+  float px_stack[16];
+  std::vector<float> px_heap;
+  float* px = px_stack;
+  if (ch > 16) {
+    px_heap.resize(ch);
+    px = px_heap.data();
+  }
   for (int oy = 0; oy < dh; ++oy) {
     const int ty = flip_v ? (dh - 1 - oy) : oy;
     float* row = dst + (size_t)ty * dw * ch;
