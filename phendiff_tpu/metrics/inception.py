@@ -11,10 +11,14 @@ JAX implementation of that architecture — pool3 (2048-d) features + the
 * the FID-specific pooling details (average pooling that excludes padding,
   max-pool instead of avg-pool in the last Mixed_7c branch);
 * a deterministic random-init fallback (seed 0) when no weights file is
-  given.  Random-feature FID still orders models consistently (it is a
-  random projection MMD) and — critically — caching/comparison semantics
-  are identical, but absolute values are NOT comparable to published FID.
-  Set ``PHENDIFF_INCEPTION_WEIGHTS=/path/to/pt-or-safetensors`` for parity.
+  given.  Random-feature FID is a random-projection distribution distance:
+  it detects gross distribution differences, but with 2048 random
+  projections over a few hundred samples its *ranking* of similar models
+  is noisy — best-model selection on it is unreliable, absolute values
+  are NOT comparable to published FID, and the Evaluator logs a loud
+  warning whenever this fallback is active (metrics records carry
+  ``inception_pretrained: 0.0``).  Set
+  ``PHENDIFF_INCEPTION_WEIGHTS=/path/to/pt-or-safetensors`` for parity.
 
 Input contract: NHWC float32 in [0, 1]; resized to 299x299 bilinear
 (antialias, matching torch-fidelity's interpolation) inside ``prepare``.

@@ -1,0 +1,104 @@
+"""Full-width SD-2.1 UNet on the attached TPU: forward + DDIB latent transfer.
+
+Round 1 could not get the 866M-param program through the dev tunnel's
+remote-compile transport (docs/BENCHMARKS.md).  Round 2's compact
+attention layouts shrank the HLO by an order of magnitude — this measures
+whether the full model now compiles, and if so its throughput at 512px
+(64x64 latents).
+
+Usage: python tools/bench_sd.py [fwd|transfer]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from phendiff_tpu.core import SchedulerConfig, make_schedule
+from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+LAT = int(os.environ.get("BENCH_LAT", "64"))  # 64 latents = 512px
+STEPS = int(os.environ.get("BENCH_STEPS", "50"))
+
+
+def build():
+    cfg = SDUNetConfig(sample_size=LAT)
+    model = SDUNet(cfg, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, LAT, LAT, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    seq = jnp.zeros((1, 77, cfg.cross_attention_dim))
+    t0 = time.perf_counter()
+    params = jax.jit(model.init)(jax.random.key(0), x, t, seq)
+    jax.block_until_ready(params)
+    n = sum(p.size for p in jax.tree.leaves(params))
+    print(f"# init: {n/1e6:.1f}M params in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+    return cfg, model, params
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "fwd"
+    cfg, model, params = build()
+    x = jax.random.normal(jax.random.key(1), (BATCH, LAT, LAT, 4))
+    t = jnp.full((BATCH,), 500, jnp.int32)
+    seq = jax.random.normal(jax.random.key(2), (BATCH, 77, 1024)) * 0.02
+
+    if mode == "fwd":
+        f = jax.jit(lambda x, t, s: model.apply(params, x, t, s))
+        t0 = time.perf_counter()
+        c = f.lower(x, t, seq).compile()
+        print(f"# forward compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = ca.get("flops", 0) if ca else 0
+        out = c(x, t, seq); out.block_until_ready()
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = c(x, t, seq)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        print({"sd_fwd_ms": round(dt*1e3, 1), "batch": BATCH,
+               "latent": LAT, "tflops_per_sec": round(flops/dt/1e12, 1),
+               "denoise_steps_per_sec": round(BATCH/dt, 2)})
+    else:
+        from phendiff_tpu.pipelines import transfer as T
+
+        schedule = make_schedule(SchedulerConfig(
+            num_train_timesteps=1000, timestep_spacing="trailing",
+            clip_sample=False))
+        emb = jax.random.normal(jax.random.key(3), (2, 1024)) * 0.02
+        from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+        src = pad_to_clip_sequence(jnp.tile(emb[0][None], (BATCH, 1)))
+        tgt = pad_to_clip_sequence(jnp.tile(emb[1][None], (BATCH, 1)))
+
+        def denoiser(xx, tt, class_seq):
+            return model.apply(params, xx, tt, class_seq)
+
+        f = jax.jit(lambda im: T.ddib(
+            denoiser, schedule, im, src, tgt, num_inference_steps=STEPS))
+        t0 = time.perf_counter()
+        c = f.lower(x).compile()
+        print(f"# transfer compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        out = c(x); out.block_until_ready()
+        t0 = time.perf_counter()
+        iters = 2
+        for _ in range(iters):
+            out = c(x)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        print({"sd_latent_transfers_per_sec_per_chip": round(BATCH/dt, 3),
+               "batch": BATCH, "latent": LAT, "steps": STEPS,
+               "denoise_steps_per_sec": round(BATCH*2*STEPS/dt, 1)})
+
+
+if __name__ == "__main__":
+    main()
