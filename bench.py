@@ -83,16 +83,21 @@ def bench_train():
     labels = jnp.tile(jnp.array([0, 1]), BATCH // 2)
 
     t0 = time.perf_counter()
-    state, m = step(state, (images, labels), jax.random.key(2))
+    compiled = step.lower(state, (images, labels), jax.random.key(2)).compile()
+    cost = compiled.cost_analysis()
+    ca = cost[0] if isinstance(cost, (list, tuple)) else cost
+    step_flops = ca.get("flops") if ca else None
+    state, m = compiled(state, (images, labels), jax.random.key(2))
     jax.block_until_ready(m["loss"])
     print(f"# train compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, m = step(state, (images, labels), jax.random.key(2))
+        state, m = compiled(state, (images, labels), jax.random.key(2))
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
+    sustained = step_flops * iters / dt if step_flops else None
     print(json.dumps({
         "metric": f"train_samples_per_sec_per_chip_{RES}px",
         "value": round(BATCH * iters / dt, 2),
@@ -101,6 +106,8 @@ def bench_train():
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "loss": float(m["loss"]),
+        "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
     }))
 
 

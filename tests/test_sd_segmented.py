@@ -1,0 +1,49 @@
+"""Segmented SD UNet execution must match the monolithic module exactly
+(same params, same math; only jit-program boundaries differ)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+
+CFG = SDUNetConfig(
+    sample_size=8,
+    block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=2,
+    cross_attention_dim=16,
+    attention_head_dim=(2, 4),
+    norm_num_groups=8,
+)
+
+
+def test_segmented_matches_monolithic():
+    model = SDUNet(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (2, 77, 16)) * 0.1
+    params = model.init(jax.random.key(2), x, t, ctx)
+
+    mono = jax.jit(lambda p, x, t, c: model.apply(p, x, t, c))(
+        params, x, t, ctx
+    )
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)(params, x, t, ctx)
+    assert seg.shape == mono.shape == x.shape
+    np.testing.assert_allclose(
+        np.asarray(seg), np.asarray(mono), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_segmented_missing_params_fail_loudly():
+    seg = SegmentedSDUNet(CFG)
+    x = jnp.zeros((1, 8, 8, 4))
+    bad = {"params": {"conv_in": {"kernel": jnp.zeros((3, 3, 4, 16)),
+                                  "bias": jnp.zeros((16,))}}}
+    try:
+        seg(bad, x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 16)))
+    except Exception:
+        return
+    raise AssertionError("expected a loud failure on missing param subtrees")

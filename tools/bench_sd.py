@@ -44,8 +44,100 @@ def build():
     return cfg, model, params
 
 
+def bench_segmented(cfg, params, mode):
+    """Segmented execution: ~11 small per-stage programs instead of one
+    monolithic HLO (which breaks the dev tunnel's compile transport)."""
+    import numpy as np
+
+    from phendiff_tpu.core import scheduler as S
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+
+    seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.key(1), (BATCH, LAT, LAT, 4))
+    t = jnp.full((BATCH,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (BATCH, 77, 1024)) * 0.02
+
+    t0 = time.perf_counter()
+    out = seg(params, x, t, ctx)
+    out.block_until_ready()
+    print(f"# segmented compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
+
+    if mode == "seg":
+        # dependency-chain the iterations and materialize the result —
+        # independent dispatches measured only queueing time on the
+        # remote-attached device (1.1 ms "forwards" that never waited)
+        iters = 10
+        t0 = time.perf_counter()
+        xc = x
+        for _ in range(iters):
+            xc = xc + 0.0 * seg(params, xc, t, ctx)
+        float(xc.sum())
+        dt = (time.perf_counter() - t0) / iters
+        print({"sd_seg_fwd_ms": round(dt*1e3, 1), "batch": BATCH,
+               "latent": LAT, "denoise_steps_per_sec": round(BATCH/dt, 2),
+               "px": LAT*8})
+        return
+
+    # segmented DDIB transfer: same per-step map as pipelines/transfer.ddib,
+    # python-driven over the segmented denoiser
+    schedule = S.make_schedule(S.SchedulerConfig(
+        num_train_timesteps=1000, timestep_spacing="trailing",
+        clip_sample=False))
+    inv_t, inv_next = S.inversion_timestep_pairs(schedule.config, STEPS)
+    gen_t, gen_prev = S.timestep_pairs(schedule.config, STEPS)
+    emb = jax.random.normal(jax.random.key(3), (2, 1024)) * 0.02
+    src = pad_to_clip_sequence(jnp.tile(emb[0][None], (BATCH, 1)))
+    tgt = pad_to_clip_sequence(jnp.tile(emb[1][None], (BATCH, 1)))
+
+    @jax.jit
+    def update(xc, model_out, te, tt, gen_flag):
+        x0, eps = S.predict_x0_eps(schedule, model_out, te, xc)
+        x0c = S._maybe_clip_x0(schedule, x0)
+        x0 = jnp.where(gen_flag, x0c, x0)
+        a_tgt = S._gather_alpha(schedule, tt).astype(xc.dtype)
+        return jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
+
+    def one_transfer(xc):
+        for te, tt in zip(inv_t, inv_next):
+            mo = seg(params, xc, jnp.full((BATCH,), max(te, 0), jnp.int32), src)
+            xc = update(xc, mo, jnp.asarray(te), jnp.asarray(tt), False)
+        for te, tt in zip(gen_t, gen_prev):
+            mo = seg(params, xc, jnp.full((BATCH,), max(te, 0), jnp.int32), tgt)
+            xc = update(xc, mo, jnp.asarray(te), jnp.asarray(tt), True)
+        return xc
+
+    out = one_transfer(x)
+    out.block_until_ready()  # warm
+    t0 = time.perf_counter()
+    out = one_transfer(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(out).all())
+    print({"sd_latent_transfers_per_sec_per_chip": round(BATCH/dt, 3),
+           "batch": BATCH, "latent": LAT, "px": LAT*8, "steps": STEPS,
+           "denoise_steps_per_sec": round(BATCH*2*STEPS/dt, 1),
+           "segmented": True})
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd"
+    if mode in ("seg", "segtransfer"):
+        from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+
+        cfg = SDUNetConfig(sample_size=LAT)
+        seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        params = seg.init(
+            jax.random.key(0), jnp.zeros((1, LAT, LAT, cfg.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+        )
+        jax.block_until_ready(params)
+        n = sum(p.size for p in jax.tree.leaves(params))
+        print(f"# segmented init: {n/1e6:.1f}M params in "
+              f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        return bench_segmented(cfg, params, mode)
     cfg, model, params = build()
     x = jax.random.normal(jax.random.key(1), (BATCH, LAT, LAT, 4))
     t = jnp.full((BATCH,), 500, jnp.int32)
