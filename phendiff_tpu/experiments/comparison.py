@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 from functools import partial
 from typing import Callable, Dict, List, Optional, Tuple
@@ -170,6 +171,11 @@ class ComparisonExperiment:
         if config.dataset_test:
             self.splits["test"] = scan_imagefolder(config.dataset_test)
         self.extractor = InceptionExtractor()
+        if not getattr(self.extractor, "pretrained", True):
+            logging.getLogger(__name__).warning(
+                "InceptionV3 is RANDOM-INIT: comparison FID/ISC/KID are not "
+                "comparable to torch-fidelity or across machines."
+            )
 
     @staticmethod
     def _load_pipeline(path: str):
