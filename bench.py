@@ -161,11 +161,15 @@ def main():
     out = compiled(images)
     out.block_until_ready()
 
+    # dependency-chain the iterations: the attached runtime can drop
+    # dispatched computations whose outputs die unobserved, which makes
+    # independent-call loops measure queueing instead of execution
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     t0 = time.perf_counter()
+    x = images
     for _ in range(iters):
-        out = compiled(images)
-    out.block_until_ready()
+        x = 0.999 * x + 1e-3 * compiled(x)
+    x.block_until_ready()
     dt = time.perf_counter() - t0
 
     transfers_per_sec = BATCH * iters / dt
