@@ -107,6 +107,47 @@ def _bcast(flag: Array, like: Array) -> Array:
     return jnp.broadcast_to(flag.reshape((1,) * like.ndim), like.shape) > 0.5
 
 
+def ddib_stepwise(
+    denoiser: cd.DenoiserFn,
+    schedule: S.NoiseSchedule,
+    images: Array,
+    source_emb: Array,
+    target_emb: Array,
+    *,
+    num_inference_steps: int = 100,
+) -> Array:
+    """``ddib`` with a host-driven step loop instead of one ``lax.scan``.
+
+    Numerically identical to ``ddib`` (same per-step map); use when the
+    denoiser cannot live inside a scan body — e.g. the full-width SD-2.1
+    UNet executed as segmented stage programs
+    (``models/sd_segmented.SegmentedSDUNet``), whose monolithic HLO exceeds
+    constrained compile transports.  Dispatch runs ahead of execution, so
+    the device stays busy; only the cross-step fusion of the scan is lost.
+    """
+    inv_t, inv_next = S.inversion_timestep_pairs(schedule.config, num_inference_steps)
+    gen_t, gen_prev = S.timestep_pairs(schedule.config, num_inference_steps)
+    b = images.shape[0]
+
+    @jax.jit
+    def update(x, model_out, te, tt, gen_flag):
+        x0, eps = S.predict_x0_eps(schedule, model_out, te, x)
+        x0c = S._maybe_clip_x0(schedule, x0)
+        x0 = jnp.where(gen_flag, x0c, x0)
+        a_tgt = S._gather_alpha(schedule, tt).astype(x.dtype)
+        return jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
+
+    x = images.astype(jnp.float32)
+    for leg, (ts, tts, emb) in enumerate(
+        [(inv_t, inv_next, source_emb), (gen_t, gen_prev, target_emb)]
+    ):
+        for te, tt in zip(ts, tts):
+            out = denoiser(x, jnp.full((b,), max(int(te), 0), jnp.int32), emb)
+            x = update(x, out, jnp.asarray(int(te)), jnp.asarray(int(tt)),
+                       leg == 1)
+    return x
+
+
 def inverted_regeneration(
     denoiser: cd.DenoiserFn,
     schedule: S.NoiseSchedule,

@@ -132,3 +132,39 @@ def test_check_gaussianity_on_gaussian(setup):
     assert abs(float(stats["std"]) - 1.0) < 0.1
     assert abs(float(stats["skewness"])) < 0.3
     assert abs(float(stats["excess_kurtosis"])) < 0.5
+
+
+def test_ddib_stepwise_matches_scan():
+    """Host-driven DDIB (for segmented full-width denoisers) must equal the
+    single-scan ddib exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.models import CondUNet2D, UNet2DConfig
+    from phendiff_tpu.pipelines import transfer as T
+
+    cfg = UNet2DConfig(
+        sample_size=8, block_out_channels=(8, 8),
+        down_block_types=("DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D"),
+        layers_per_block=1, norm_num_groups=4, num_class_embeds=2,
+    )
+    model = CondUNet2D(cfg)
+    x0 = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.key(0), x0, jnp.array([0]),
+                        class_labels=jnp.array([0]))
+    den = lambda x, t, e: model.apply(params, x, t, class_emb=e)
+    sched = make_schedule(SchedulerConfig(
+        num_train_timesteps=20, clip_sample=False,
+        timestep_spacing="trailing"))
+    table = params["params"]["class_embedding"]["embedding"]
+    imgs = jax.random.normal(jax.random.key(1), (2, 8, 8, 3)) * 0.3
+    src = jnp.tile(table[0][None], (2, 1))
+    tgt = jnp.tile(table[1][None], (2, 1))
+
+    a = T.ddib(den, sched, imgs, src, tgt, num_inference_steps=5)
+    b = T.ddib_stepwise(den, sched, imgs, src, tgt, num_inference_steps=5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=2e-6)

@@ -80,33 +80,22 @@ def bench_segmented(cfg, params, mode):
                "px": LAT*8})
         return
 
-    # segmented DDIB transfer: same per-step map as pipelines/transfer.ddib,
-    # python-driven over the segmented denoiser
+    # segmented DDIB transfer: the host-driven step loop from the transfer
+    # API (numerics identical to the single-scan ddib — tested)
+    from phendiff_tpu.pipelines.transfer import ddib_stepwise
+
     schedule = S.make_schedule(S.SchedulerConfig(
         num_train_timesteps=1000, timestep_spacing="trailing",
         clip_sample=False))
-    inv_t, inv_next = S.inversion_timestep_pairs(schedule.config, STEPS)
-    gen_t, gen_prev = S.timestep_pairs(schedule.config, STEPS)
     emb = jax.random.normal(jax.random.key(3), (2, 1024)) * 0.02
     src = pad_to_clip_sequence(jnp.tile(emb[0][None], (BATCH, 1)))
     tgt = pad_to_clip_sequence(jnp.tile(emb[1][None], (BATCH, 1)))
 
-    @jax.jit
-    def update(xc, model_out, te, tt, gen_flag):
-        x0, eps = S.predict_x0_eps(schedule, model_out, te, xc)
-        x0c = S._maybe_clip_x0(schedule, x0)
-        x0 = jnp.where(gen_flag, x0c, x0)
-        a_tgt = S._gather_alpha(schedule, tt).astype(xc.dtype)
-        return jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
-
     def one_transfer(xc):
-        for te, tt in zip(inv_t, inv_next):
-            mo = seg(params, xc, jnp.full((BATCH,), max(te, 0), jnp.int32), src)
-            xc = update(xc, mo, jnp.asarray(te), jnp.asarray(tt), False)
-        for te, tt in zip(gen_t, gen_prev):
-            mo = seg(params, xc, jnp.full((BATCH,), max(te, 0), jnp.int32), tgt)
-            xc = update(xc, mo, jnp.asarray(te), jnp.asarray(tt), True)
-        return xc
+        return ddib_stepwise(
+            lambda x, t, e: seg(params, x, t, e), schedule, xc, src, tgt,
+            num_inference_steps=STEPS,
+        )
 
     out = one_transfer(x)
     out.block_until_ready()  # warm
