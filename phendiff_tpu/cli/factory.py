@@ -62,6 +62,18 @@ def load_initial_pipeline(args, dtype=jnp.float32):
             sched_cfg = override_scheduler_config(
                 pipe.scheduler_config, args, args.noise_scheduler_config_path
             )
+            if getattr(args, "learn_denoiser_from_scratch", False):
+                # keep the pretrained pipeline's scheduler but re-initialize
+                # the denoiser — from its config, or an explicit override
+                # (reference: utils_models.py:87-104; check_args allows the
+                # config override only in this mode)
+                if args.denoiser_config_path:
+                    unet_cfg = UNet2DConfig.from_json(
+                        args.denoiser_config_path
+                    ).replace(sample_size=definition)
+                return ConditionalDDIMPipeline.init_random(
+                    unet_cfg, sched_cfg, seed=args.seed, dtype=dtype
+                )
             return ConditionalDDIMPipeline(
                 unet_cfg, sched_cfg, pipe.params, dtype=dtype
             )

@@ -48,10 +48,25 @@ class HFDatasetAdapter:
 
     def __post_init__(self):
         feat = self.dataset.features.get(self.label_key)
-        self.classes: Tuple[str, ...] = (
-            tuple(feat.names) if hasattr(feat, "names") else
-            tuple(sorted({str(l) for l in self.dataset[self.label_key]}))
-        )
+        if hasattr(feat, "names"):  # ClassLabel: values are 0..n-1 already
+            self.classes: Tuple[str, ...] = tuple(feat.names)
+            self._label_map = None
+        else:
+            # plain integer/str label column: remap raw values to dense
+            # 0..n-1 positions (numeric order when possible) so class
+            # indices, names, and the Evaluator's per-class pairing agree
+            raw = sorted(
+                set(self.dataset[self.label_key]),
+                key=lambda v: (0, int(v)) if str(v).lstrip("-").isdigit()
+                else (1, str(v)),
+            )
+            self.classes = tuple(str(v) for v in raw)
+            self._label_map = {v: i for i, v in enumerate(raw)}
+
+    def _map_labels(self, values) -> np.ndarray:
+        if self._label_map is None:
+            return np.asarray(values, dtype=np.int32)
+        return np.asarray([self._label_map[v] for v in values], dtype=np.int32)
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.config.num_shards
@@ -83,7 +98,7 @@ class HFDatasetAdapter:
                 return
             rows = self.dataset[[int(i) for i in idxs]]
             raws = [_to_uint8_rgb(im) for im in rows[self.image_key]]
-            labels = np.asarray(rows[self.label_key], dtype=np.int32)
+            labels = self._map_labels(rows[self.label_key])
             if cfg.normalize:
                 flips = None
                 if cfg.random_flip:
@@ -100,10 +115,17 @@ class HFDatasetAdapter:
 
     # -- evaluation support (mirrors DatasetIndex/ImageFolderLoader) --------
     def for_class(self, class_label: int) -> "HFDatasetAdapter":
-        """Adapter restricted to one class (Evaluator reference features)."""
-        sub = self.dataset.filter(
-            lambda l: int(l) == int(class_label), input_columns=self.label_key
-        )
+        """Adapter restricted to one class (Evaluator reference features).
+
+        ``class_label`` is the dense 0..n-1 index; for non-ClassLabel
+        columns it is translated back to the raw label value before
+        filtering."""
+        if self._label_map is None:
+            pred = lambda l: int(l) == int(class_label)
+        else:
+            target = {i: v for v, i in self._label_map.items()}[int(class_label)]
+            pred = lambda l: l == target
+        sub = self.dataset.filter(pred, input_columns=self.label_key)
         return HFDatasetAdapter(sub, self.config, self.image_key, self.label_key)
 
     def raw_images(
@@ -115,7 +137,7 @@ class HFDatasetAdapter:
             idxs = list(range(start, min(start + batch_size, n)))
             rows = self.dataset[idxs]
             raws = [_to_uint8_rgb(im) for im in rows[self.image_key]]
-            labels = np.asarray(rows[self.label_key], dtype=np.int32)
+            labels = self._map_labels(rows[self.label_key])
             imgs = np.stack([native.resize_u8(r, definition) for r in raws])
             yield imgs, labels
 
@@ -148,8 +170,13 @@ def load_hf_dataset(
     import datasets
 
     if os.path.isdir(name):
-        if os.path.exists(os.path.join(name, "dataset_info.json")) or any(
-            f.endswith(".arrow") for f in os.listdir(name)
+        # on-disk arrow: Dataset.save_to_disk writes dataset_info.json +
+        # *.arrow at the top level; DatasetDict.save_to_disk writes only
+        # dataset_dict.json with per-split subdirectories
+        if (
+            os.path.exists(os.path.join(name, "dataset_info.json"))
+            or os.path.exists(os.path.join(name, "dataset_dict.json"))
+            or any(f.endswith(".arrow") for f in os.listdir(name))
         ):
             ds = datasets.load_from_disk(name)
             if isinstance(ds, datasets.DatasetDict):

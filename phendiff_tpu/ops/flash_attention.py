@@ -203,7 +203,9 @@ def _pick_block_q(s: int) -> int:
     for bq in (1024, 512, 256, 128):
         if s % bq == 0 and bq * s * 4 <= _SCORES_BYTES:
             return bq
-    for bq in (512, 256, 128):
+    # very long sequences: no block meets the budget — clamp to the
+    # smallest divisor so the f32 temporaries stay VMEM-sized
+    for bq in (128, 256, 512):
         if s % bq == 0:
             return bq
     return s  # small or odd sequence: single block
@@ -256,7 +258,7 @@ def _pick_block_q_bwd(s: int) -> int:
     for bq in (512, 256, 128):
         if s % bq == 0 and bq * s * 4 <= _SCORES_BYTES // 2:
             return bq
-    for bq in (512, 256, 128):
+    for bq in (128, 256, 512):  # over-budget: smallest divisor wins
         if s % bq == 0:
             return bq
     return s

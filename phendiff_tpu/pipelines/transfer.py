@@ -29,6 +29,7 @@ denoiser in ``jax.checkpoint`` upstream if memory-bound.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -129,23 +130,29 @@ def ddib_stepwise(
     gen_t, gen_prev = S.timestep_pairs(schedule.config, num_inference_steps)
     b = images.shape[0]
 
-    @jax.jit
-    def update(x, model_out, te, tt, gen_flag):
-        x0, eps = S.predict_x0_eps(schedule, model_out, te, x)
-        x0c = S._maybe_clip_x0(schedule, x0)
-        x0 = jnp.where(gen_flag, x0c, x0)
-        a_tgt = S._gather_alpha(schedule, tt).astype(x.dtype)
-        return jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
-
     x = images.astype(jnp.float32)
     for leg, (ts, tts, emb) in enumerate(
         [(inv_t, inv_next, source_emb), (gen_t, gen_prev, target_emb)]
     ):
         for te, tt in zip(ts, tts):
             out = denoiser(x, jnp.full((b,), max(int(te), 0), jnp.int32), emb)
-            x = update(x, out, jnp.asarray(int(te)), jnp.asarray(int(tt)),
-                       leg == 1)
+            x = _ddib_update(
+                schedule, x, out, jnp.asarray(int(te)), jnp.asarray(int(tt)),
+                leg == 1,
+            )
     return x
+
+
+# Module-level so jax.jit's cache survives across ddib_stepwise calls (a
+# per-call closure would re-trace the update on every transfer; NoiseSchedule
+# is a pytree with static config, so it passes through jit directly).
+@functools.partial(jax.jit, static_argnums=(5,))
+def _ddib_update(schedule, x, model_out, te, tt, gen_flag: bool):
+    x0, eps = S.predict_x0_eps(schedule, model_out, te, x)
+    x0c = S._maybe_clip_x0(schedule, x0)
+    x0 = jnp.where(gen_flag, x0c, x0)
+    a_tgt = S._gather_alpha(schedule, tt).astype(x.dtype)
+    return jnp.sqrt(a_tgt) * x0 + jnp.sqrt(1.0 - a_tgt) * eps
 
 
 def inverted_regeneration(

@@ -23,6 +23,7 @@ Sample panels are still written via the tracker for human review.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import logging
 import math
 from typing import Callable, Dict, List, Optional
@@ -107,9 +108,27 @@ class Evaluator:
         self.shard_fn = shard_fn or (lambda x: x)
 
     # -- reference features (cached per class) -----------------------------
+    def _cache_key(self, class_name: str, src) -> str:
+        """Cache key tied to the reference-set identity, not just the class
+        name: the same shared ``.fidelity_cache`` may be hit by runs with
+        different definitions, perc_samples subsets, or dataset sources —
+        a name-only key silently reuses features of the wrong reference
+        distribution."""
+        h = hashlib.md5()
+        h.update(repr(self.definition).encode())
+        if isinstance(src, DatasetIndex):
+            for p in src.paths:
+                h.update(p.encode())
+        else:  # HF adapter: the dataset fingerprint identifies content
+            h.update(str(
+                getattr(src.dataset, "_fingerprint", len(src.dataset))
+            ).encode())
+        return f"{class_name}_{h.hexdigest()[:10]}"
+
     def _reference_features(self, class_label: int, class_name: str):
+        src = self.raw_index.for_class(class_label)
+
         def compute():
-            src = self.raw_index.for_class(class_label)
             if isinstance(src, DatasetIndex):
                 loader = ImageFolderLoader(
                     src,
@@ -132,7 +151,8 @@ class Evaluator:
             return {"features": feats}
 
         if self.cache is not None:
-            return self.cache.get_or_compute(class_name, compute)["features"]
+            key = self._cache_key(class_name, src)
+            return self.cache.get_or_compute(key, compute)["features"]
         return compute()["features"]
 
     # -- generation --------------------------------------------------------
