@@ -1,0 +1,231 @@
+"""Full-width SD-2.1 fine-tuning via per-stage VJP programs.
+
+The monolithic 866M-parameter train step lowers to one HLO program that
+constrained compile transports cannot ship (models/sd_segmented.py has the
+forward story).  Training needs the backward too: this module runs the
+loss gradient as a *chain of per-stage forward+VJP programs* — each stage
+(stem / down levels / mid / up levels / out) recomputes its forward inside
+its own jitted VJP (per-stage rematerialization, which also caps
+activation memory) and hands cotangents to its neighbours:
+
+    out ← up3 ← … ← up0 ← mid ← down3 ← … ← down0 ← stem
+
+Cotangent routing mirrors the forward's skip plumbing: an up stage's VJP
+emits cotangents for the 3 skip tensors it consumed, which are delivered
+to the producing down stage (jax.vjp sums the x-output / skip-output
+cotangents that alias the same tensor inside a stage); the timestep- and
+context-embedding cotangents accumulate across every stage and flow into
+the stem.  Gradients are verified to match ``jax.grad`` of the monolithic
+``SDUNet`` (tests/test_segmented_train.py).
+
+The optimizer update is one additional (elementwise, small-HLO) program
+over the merged tree.  Reference context: SD fine-tune loss is the
+epsilon-prediction MSE over frozen-VAE latents
+(``src/utils_training.py:490-538``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from phendiff_tpu.core import scheduler as S
+from phendiff_tpu.models.sd_segmented import SegmentedSDUNet, _slice
+
+Array = jax.Array
+
+
+class SegmentedSDTrainStep:
+    """Callable ``(params, opt_state, latents, class_seq, rng) →
+    (params, opt_state, metrics)`` for the epsilon-MSE fine-tune loss."""
+
+    def __init__(self, seg: SegmentedSDUNet, schedule: S.NoiseSchedule,
+                 optimizer: optax.GradientTransformation):
+        self.seg = seg
+        self.schedule = schedule
+        self.optimizer = optimizer
+        self._fwd: Dict[str, Any] = {}
+        self._vjp: Dict[str, Any] = {}
+        cfg = seg.cfg
+        n = len(cfg.block_out_channels)
+        self._stages: List[Tuple[str, Any]] = (
+            [("stem", seg._stem)]
+            + [(f"down:{i}", seg._down[i]) for i in range(n)]
+            + [("mid", seg._mid)]
+            + [(f"up:{i}", seg._up[i]) for i in range(n)]
+            + [("out", seg._out)]
+        )
+        self._mods = dict(self._stages)
+
+        @jax.jit
+        def _prepare(latents, rng):
+            b = latents.shape[0]
+            k_t, k_n = jax.random.split(rng)
+            t = jax.random.randint(
+                k_t, (b,), 0, schedule.num_train_timesteps, dtype=jnp.int32
+            )
+            noise = jax.random.normal(k_n, latents.shape, latents.dtype)
+            noisy = S.add_noise(schedule, latents, noise, t)
+            return noisy, noise, t
+
+        self._prepare = _prepare
+
+        @jax.jit
+        def _loss_head(pred, noise):
+            pred = pred.astype(jnp.float32)
+            diff = pred - noise.astype(jnp.float32)
+            loss = jnp.mean(jnp.square(diff))
+            ct = (2.0 / diff.size) * diff  # dL/dpred
+            return loss, ct.astype(pred.dtype)
+
+        self._loss_head = _loss_head
+
+        @jax.jit
+        def _apply_updates(params, opt_state, grads):
+            updates, opt_state = optimizer.update(
+                grads, opt_state, params["params"]
+            )
+            return (
+                {"params": optax.apply_updates(params["params"], updates)},
+                opt_state,
+            )
+
+        self._apply_updates = _apply_updates
+        self._add = jax.jit(lambda a, b: a + b)
+
+    # -- per-stage programs -------------------------------------------------
+    def _fwd_fn(self, key):
+        if key not in self._fwd:
+            self._fwd[key] = jax.jit(self._mods[key].apply)
+        return self._fwd[key]
+
+    def _vjp_fn(self, key):
+        if key not in self._vjp:
+            mod = self._mods[key]
+
+            @jax.jit
+            def f(pslice, args, cts):
+                _, vjp = jax.vjp(
+                    lambda p, *a: mod.apply(p, *a), pslice, *args
+                )
+                return vjp(cts)
+
+            self._vjp[key] = f
+        return self._vjp[key]
+
+    # -- the step -----------------------------------------------------------
+    def __call__(self, params, opt_state, latents, class_seq, rng):
+        seg, cfg = self.seg, self.seg.cfg
+        L = cfg.layers_per_block
+        n = len(cfg.block_out_channels)
+        noisy, noise, t = self._prepare(latents, rng)
+        ctx = class_seq.astype(seg.dtype)
+
+        # ---- forward, recording each stage's inputs -----------------------
+        args_of: Dict[str, tuple] = {}
+        x, temb = self._fwd_fn("stem")(
+            _slice(params, seg._names("stem")), noisy, t
+        )
+        skips = [x]
+        down_out_count: Dict[str, int] = {}
+        for i in range(n):
+            key = f"down:{i}"
+            args_of[key] = (x, temb, ctx)
+            x, outs = self._fwd_fn(key)(
+                _slice(params, seg._names(key)), x, temb, ctx
+            )
+            skips.extend(outs)
+            down_out_count[key] = len(outs)
+        args_of["mid"] = (x, temb, ctx)
+        x = self._fwd_fn("mid")(_slice(params, seg._names("mid")), x, temb, ctx)
+        consumed: Dict[str, tuple] = {}
+        for i in range(n):
+            key = f"up:{i}"
+            cons = tuple(skips.pop() for _ in range(L + 1))
+            args_of[key] = (x, temb, ctx, cons)
+            x = self._fwd_fn(key)(
+                _slice(params, seg._names(key)), x, temb, ctx, cons
+            )
+            consumed[key] = cons
+        assert not skips
+        args_of["out"] = (x,)
+        pred = self._fwd_fn("out")(_slice(params, seg._names("out")), x)
+
+        loss, ct = self._loss_head(pred, noise)
+
+        # ---- backward chain ----------------------------------------------
+        grads: Dict[str, Any] = {}
+
+        def take(gp):
+            for k, v in gp["params"].items():
+                grads[k] = v
+
+        gp, ct_x = self._vjp_fn("out")(
+            _slice(params, self._names("out")), args_of["out"], ct
+        )
+        take(gp)
+
+        ct_temb = None
+        ct_ctx = None
+
+        def acc(a, b):
+            return b if a is None else a + b
+
+        skip_cts: List[Any] = []  # cotangents for the global skip stack
+        for i in reversed(range(n)):
+            key = f"up:{i}"
+            gp, ct_x, d_temb, d_ctx, d_skips = self._vjp_fn(key)(
+                _slice(params, self._names(key)), args_of[key], ct_x
+            )
+            take(gp)
+            ct_temb = acc(ct_temb, d_temb)
+            ct_ctx = acc(ct_ctx, d_ctx)
+            # cons was popped off the stack top, so reversed(d_skips) is in
+            # stack order; processing up stages last-to-first walks the
+            # stack bottom-up — append to rebuild bottom→top order
+            skip_cts = skip_cts + list(reversed(d_skips))
+
+        gp, ct_x, d_temb, d_ctx = self._vjp_fn("mid")(
+            _slice(params, self._names("mid")), args_of["mid"], ct_x
+        )
+        take(gp)
+        ct_temb = acc(ct_temb, d_temb)
+        ct_ctx = acc(ct_ctx, d_ctx)
+
+        for i in reversed(range(n)):
+            key = f"down:{i}"
+            cnt = down_out_count[key]
+            outs_ct = skip_cts[-cnt:]
+            skip_cts = skip_cts[:-cnt]
+            gp, d_x, d_temb, d_ctx = self._vjp_fn(key)(
+                _slice(params, self._names(key)), args_of[key],
+                (ct_x, outs_ct),
+            )
+            take(gp)
+            ct_x = d_x
+            ct_temb = acc(ct_temb, d_temb)
+            ct_ctx = acc(ct_ctx, d_ctx)
+
+        # the single remaining slot is conv_in's output consumed as the
+        # deepest up-stage skip
+        (stem_skip_ct,) = skip_cts
+        ct_x = self._add(ct_x, stem_skip_ct)
+        gp, _d_sample, _d_t = self._vjp_fn("stem")(
+            _slice(params, self._names("stem")), (noisy, t), (ct_x, ct_temb)
+        )
+        take(gp)
+
+        params, opt_state = self._apply_updates(
+            params, opt_state, grads
+        )
+        return params, opt_state, {"loss": loss}
+
+    def _names(self, key):
+        return self.seg._names(key)
+
+    def init_opt_state(self, params):
+        return self.optimizer.init(params["params"])

@@ -110,8 +110,60 @@ def bench_segmented(cfg, params, mode):
            "segmented": True})
 
 
+def bench_segtrain(cfg, seg, params):
+    """Full-width SD fine-tune step on hardware (per-stage VJP training).
+
+    Reference workload: SD-2.1 UNet + class-embedding fine-tune over frozen
+    VAE latents, epsilon MSE (launch_script_SD.sh: batch 64/GPU at 128px)."""
+    import optax
+
+    from phendiff_tpu.core import scheduler as Sc
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.train.segmented_train import SegmentedSDTrainStep
+
+    schedule = Sc.make_schedule(Sc.SchedulerConfig(num_train_timesteps=1000))
+    step = SegmentedSDTrainStep(seg, schedule, optax.adamw(1e-5))
+    opt_state = step.init_opt_state(params)
+    jax.block_until_ready(opt_state)
+    lat = jax.random.normal(jax.random.key(1), (BATCH, LAT, LAT, 4))
+    emb = jax.random.normal(jax.random.key(2), (BATCH, 1024)) * 0.02
+    ctx = pad_to_clip_sequence(emb)
+
+    t0 = time.perf_counter()
+    params, opt_state, m = step(params, opt_state, lat, ctx, jax.random.key(3))
+    loss0 = float(m["loss"])
+    print(f"# segtrain compile+first: {time.perf_counter()-t0:.1f}s "
+          f"loss={loss0:.4f}", file=sys.stderr)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, m = step(
+            params, opt_state, lat, ctx, jax.random.key(4 + i)
+        )
+    loss = float(m["loss"])  # materializes the chain
+    dt = (time.perf_counter() - t0) / iters
+    print({"sd_segtrain_step_ms": round(dt * 1e3, 1), "batch": BATCH,
+           "latent": LAT, "px": LAT * 8,
+           "samples_per_sec_per_chip": round(BATCH / dt, 2),
+           "loss": round(loss, 4), "loss_first": round(loss0, 4)})
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "fwd"
+    if mode == "segtrain":
+        from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+
+        cfg = SDUNetConfig(sample_size=LAT)
+        seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        params = seg.init(
+            jax.random.key(0), jnp.zeros((1, LAT, LAT, cfg.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+        )
+        jax.block_until_ready(params)
+        print(f"# init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        return bench_segtrain(cfg, seg, params)
     if mode in ("seg", "segtransfer"):
         from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
 
