@@ -18,10 +18,12 @@ context-embedding cotangents accumulate across every stage and flow into
 the stem.  Gradients are verified to match ``jax.grad`` of the monolithic
 ``SDUNet`` (tests/test_segmented_train.py).
 
-The optimizer update is one additional (elementwise, small-HLO) program
-over the merged tree.  Reference context: SD fine-tune loss is the
-epsilon-prediction MSE over frozen-VAE latents
-(``src/utils_training.py:490-538``).
+The optimizer applies per stage, immediately after each stage's VJP —
+exact for Adam-family transforms (per-leaf updates) and essential for
+memory: only one stage's gradients are ever live, so full-width training
+fits a 16 GB chip alongside the 10.4 GB of f32 params+moments.
+Reference context: SD fine-tune loss is the epsilon-prediction MSE over
+frozen-VAE latents (``src/utils_training.py:490-538``).
 """
 
 from __future__ import annotations
@@ -76,25 +78,27 @@ class SegmentedSDTrainStep:
 
         @jax.jit
         def _loss_head(pred, noise):
-            pred = pred.astype(jnp.float32)
-            diff = pred - noise.astype(jnp.float32)
+            predf = pred.astype(jnp.float32)
+            diff = predf - noise.astype(jnp.float32)
             loss = jnp.mean(jnp.square(diff))
             ct = (2.0 / diff.size) * diff  # dL/dpred
+            # the cotangent must carry the network output's dtype (bf16
+            # under mixed precision), not the f32 loss-math dtype
             return loss, ct.astype(pred.dtype)
 
         self._loss_head = _loss_head
 
+        # Per-stage optimizer application: Adam-family updates are
+        # per-leaf independent, so applying the transformation to each
+        # stage's slice right after its VJP is EXACT while keeping only
+        # one stage's gradients live — the difference between fitting in
+        # 16 GB HBM and not (full-width: params+m+v alone are 10.4 GB).
         @jax.jit
-        def _apply_updates(params, opt_state, grads):
-            updates, opt_state = optimizer.update(
-                grads, opt_state, params["params"]
-            )
-            return (
-                {"params": optax.apply_updates(params["params"], updates)},
-                opt_state,
-            )
+        def _apply_stage(pslice, opt_state, grads):
+            updates, opt_state = optimizer.update(grads, opt_state, pslice)
+            return optax.apply_updates(pslice, updates), opt_state
 
-        self._apply_updates = _apply_updates
+        self._apply_stage = _apply_stage
         self._add = jax.jit(lambda a, b: a + b)
 
     # -- per-stage programs -------------------------------------------------
@@ -157,17 +161,20 @@ class SegmentedSDTrainStep:
 
         loss, ct = self._loss_head(pred, noise)
 
-        # ---- backward chain ----------------------------------------------
-        grads: Dict[str, Any] = {}
+        # ---- backward chain: VJP → immediate per-stage optimizer apply ----
+        new_params: Dict[str, Any] = {}
+        new_opt: Dict[str, Any] = {}
 
-        def take(gp):
-            for k, v in gp["params"].items():
-                grads[k] = v
+        def apply_stage(key, gp):
+            pslice = _slice(params, self._names(key))["params"]
+            upd, st = self._apply_stage(pslice, opt_state[key], gp["params"])
+            new_params.update(upd)
+            new_opt[key] = st
 
         gp, ct_x = self._vjp_fn("out")(
             _slice(params, self._names("out")), args_of["out"], ct
         )
-        take(gp)
+        apply_stage("out", gp)
 
         ct_temb = None
         ct_ctx = None
@@ -181,7 +188,7 @@ class SegmentedSDTrainStep:
             gp, ct_x, d_temb, d_ctx, d_skips = self._vjp_fn(key)(
                 _slice(params, self._names(key)), args_of[key], ct_x
             )
-            take(gp)
+            apply_stage(key, gp)
             ct_temb = acc(ct_temb, d_temb)
             ct_ctx = acc(ct_ctx, d_ctx)
             # cons was popped off the stack top, so reversed(d_skips) is in
@@ -192,7 +199,7 @@ class SegmentedSDTrainStep:
         gp, ct_x, d_temb, d_ctx = self._vjp_fn("mid")(
             _slice(params, self._names("mid")), args_of["mid"], ct_x
         )
-        take(gp)
+        apply_stage("mid", gp)
         ct_temb = acc(ct_temb, d_temb)
         ct_ctx = acc(ct_ctx, d_ctx)
 
@@ -205,7 +212,7 @@ class SegmentedSDTrainStep:
                 _slice(params, self._names(key)), args_of[key],
                 (ct_x, outs_ct),
             )
-            take(gp)
+            apply_stage(key, gp)
             ct_x = d_x
             ct_temb = acc(ct_temb, d_temb)
             ct_ctx = acc(ct_ctx, d_ctx)
@@ -217,15 +224,17 @@ class SegmentedSDTrainStep:
         gp, _d_sample, _d_t = self._vjp_fn("stem")(
             _slice(params, self._names("stem")), (noisy, t), (ct_x, ct_temb)
         )
-        take(gp)
+        apply_stage("stem", gp)
 
-        params, opt_state = self._apply_updates(
-            params, opt_state, grads
-        )
-        return params, opt_state, {"loss": loss}
+        return {"params": new_params}, new_opt, {"loss": loss}
 
     def _names(self, key):
         return self.seg._names(key)
 
     def init_opt_state(self, params):
-        return self.optimizer.init(params["params"])
+        return {
+            key: self.optimizer.init(
+                _slice(params, self._names(key))["params"]
+            )
+            for key, _ in self._stages
+        }

@@ -114,3 +114,16 @@ def test_segmented_gradient_values_match():
             np.asarray(gs), np.asarray(gr), rtol=2e-4, atol=1e-6,
             err_msg=str(path_r),
         )
+
+
+def test_segmented_step_bf16_compute():
+    """Mixed precision: the loss-head cotangent must carry the network's
+    bf16 output dtype (regression: f32 cotangent vs bf16 output)."""
+    seg = SegmentedSDUNet(CFG, dtype=jnp.bfloat16)
+    lat = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(1), (2, 77, 16)) * 0.1
+    params = seg.init(jax.random.key(2), lat, jnp.zeros((2,), jnp.int32), ctx)
+    step = SegmentedSDTrainStep(seg, SCHED, optax.adam(1e-3))
+    opt_state = step.init_opt_state(params)
+    p, _, m = step(params, opt_state, lat, ctx, jax.random.key(4))
+    assert np.isfinite(float(m["loss"]))
