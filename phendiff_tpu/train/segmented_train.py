@@ -122,7 +122,13 @@ class SegmentedSDTrainStep:
         return self._vjp[key]
 
     # -- the step -----------------------------------------------------------
-    def __call__(self, params, opt_state, latents, class_seq, rng):
+    def __call__(self, params, opt_state, latents, class_seq, rng,
+                 donate: bool = False):
+        """``donate=True`` CONSUMES ``params``/``opt_state`` (their entries
+        are dropped as each stage's update lands, freeing the old buffers).
+        Full-width on a 16 GB chip needs it — otherwise old+new params and
+        moments coexist at peak. The caller must not reuse the passed-in
+        trees afterwards."""
         seg, cfg = self.seg, self.seg.cfg
         L = cfg.layers_per_block
         n = len(cfg.block_out_channels)
@@ -166,10 +172,15 @@ class SegmentedSDTrainStep:
         new_opt: Dict[str, Any] = {}
 
         def apply_stage(key, gp):
-            pslice = _slice(params, self._names(key))["params"]
+            names = self._names(key)
+            pslice = _slice(params, names)["params"]
             upd, st = self._apply_stage(pslice, opt_state[key], gp["params"])
             new_params.update(upd)
             new_opt[key] = st
+            if donate:
+                for k in list(pslice):
+                    params["params"].pop(k, None)
+                opt_state.pop(key, None)
 
         gp, ct_x = self._vjp_fn("out")(
             _slice(params, self._names("out")), args_of["out"], ct

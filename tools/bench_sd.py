@@ -130,7 +130,7 @@ def bench_segtrain(cfg, seg, params):
     ctx = pad_to_clip_sequence(emb)
 
     t0 = time.perf_counter()
-    params, opt_state, m = step(params, opt_state, lat, ctx, jax.random.key(3))
+    params, opt_state, m = step(params, opt_state, lat, ctx, jax.random.key(3), donate=True)
     loss0 = float(m["loss"])
     print(f"# segtrain compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={loss0:.4f}", file=sys.stderr)
@@ -139,7 +139,7 @@ def bench_segtrain(cfg, seg, params):
     t0 = time.perf_counter()
     for i in range(iters):
         params, opt_state, m = step(
-            params, opt_state, lat, ctx, jax.random.key(4 + i)
+            params, opt_state, lat, ctx, jax.random.key(4 + i), donate=True
         )
     loss = float(m["loss"])  # materializes the chain
     dt = (time.perf_counter() - t0) / iters
