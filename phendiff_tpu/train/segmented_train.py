@@ -15,21 +15,34 @@ emits cotangents for the 3 skip tensors it consumed, which are delivered
 to the producing down stage (jax.vjp sums the x-output / skip-output
 cotangents that alias the same tensor inside a stage); the timestep- and
 context-embedding cotangents accumulate across every stage and flow into
-the stem.  Gradients are verified to match ``jax.grad`` of the monolithic
-``SDUNet`` (tests/test_segmented_train.py).
+the stem (time) / the returned metrics (``ctx_grad``).  Gradients are
+verified to match ``jax.grad`` of the monolithic ``SDUNet``
+(tests/test_segmented_train.py).
 
 The optimizer applies per stage, immediately after each stage's VJP —
-exact for Adam-family transforms (per-leaf updates) and essential for
-memory: only one stage's gradients are ever live, so full-width training
-fits a 16 GB chip alongside the 10.4 GB of f32 params+moments.
-Reference context: SD fine-tune loss is the epsilon-prediction MSE over
-frozen-VAE latents (``src/utils_training.py:490-538``).
+exact for per-leaf transforms, and essential for memory: only one stage's
+gradients are ever live, so full-width training fits a 16 GB chip
+alongside the 10.4 GB of f32 params+moments.  **The optimizer MUST be a
+per-leaf transform** (adam/adamw/sgd, optionally with an optax
+learning-rate schedule): a global-norm clipper like the one
+``train_loop.make_optimizer`` chains would clip by each *stage's* norm
+here, silently diverging from monolithic training.
+
+Covered training semantics: all three prediction types with the same
+targets/SNR weighting as ``train_loop.diffusion_loss``, shared-key CFG
+dropout (``proba_uncond``), optional per-stage EMA, a nonfinite-loss
+flag, and the class-conditioning gradient (``metrics["ctx_grad"]`` —
+backprop it through ``pad_to_clip_sequence``/the embedding table with
+``jax.vjp`` at the caller to fine-tune the custom class embedding).
+Run-loop concerns (checkpoint cadence, eval, resume) stay with the
+standard ``Trainer``, which covers the SD family end-to-end at widths
+whose monolithic programs compile.  Reference loss:
+``src/utils_training.py:490-538``.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,20 +50,26 @@ import optax
 
 from phendiff_tpu.core import scheduler as S
 from phendiff_tpu.models.sd_segmented import SegmentedSDUNet, _slice
+from phendiff_tpu.train.ema import EMAConfig, ema_update
 
 Array = jax.Array
 
 
 class SegmentedSDTrainStep:
-    """Callable ``(params, opt_state, latents, class_seq, rng) →
-    (params, opt_state, metrics)`` for the epsilon-MSE fine-tune loss."""
+    """Callable
+    ``(params, opt_state, latents, class_seq, rng, …) →
+    (params, opt_state, ema_params, metrics)``
+    for the reference SD fine-tune loss."""
 
     def __init__(self, seg: SegmentedSDUNet, schedule: S.NoiseSchedule,
-                 optimizer: optax.GradientTransformation):
+                 optimizer: optax.GradientTransformation,
+                 proba_uncond: float = 0.0,
+                 ema: Optional[EMAConfig] = None):
         self.seg = seg
         self.schedule = schedule
         self.optimizer = optimizer
-        self._fwd: Dict[str, Any] = {}
+        self.proba_uncond = proba_uncond
+        self.ema_config = ema
         self._vjp: Dict[str, Any] = {}
         cfg = seg.cfg
         n = len(cfg.block_out_channels)
@@ -62,50 +81,75 @@ class SegmentedSDTrainStep:
             + [("out", seg._out)]
         )
         self._mods = dict(self._stages)
+        pt = schedule.config.prediction_type
+        if pt not in ("epsilon", "sample", "v_prediction"):
+            raise ValueError(f"unknown prediction_type: {pt}")
 
         @jax.jit
-        def _prepare(latents, rng):
+        def _prepare(latents, class_seq, rng):
             b = latents.shape[0]
-            k_t, k_n = jax.random.split(rng)
+            k_t, k_n, k_flip = jax.random.split(rng, 3)
             t = jax.random.randint(
                 k_t, (b,), 0, schedule.num_train_timesteps, dtype=jnp.int32
             )
             noise = jax.random.normal(k_n, latents.shape, latents.dtype)
             noisy = S.add_noise(schedule, latents, noise, t)
-            return noisy, noise, t
+            # target/weight dispatch mirrors train_loop.diffusion_loss
+            if pt == "epsilon":
+                target, weight = noise, jnp.ones((b,), jnp.float32)
+            elif pt == "sample":
+                target = latents
+                weight = S.snr(schedule, t).astype(jnp.float32)
+            else:  # v_prediction
+                target = S.velocity(schedule, latents, noise, t)
+                weight = jnp.ones((b,), jnp.float32)
+            ctx = class_seq.astype(seg.dtype)
+            if proba_uncond > 0.0:
+                # batch-level coin flip, shared key (train_loop.py:216-220)
+                uncond = jax.random.bernoulli(k_flip, proba_uncond)
+                ctx = ctx * (1.0 - uncond.astype(ctx.dtype))
+            return noisy, target, weight, t, ctx
 
         self._prepare = _prepare
 
         @jax.jit
-        def _loss_head(pred, noise):
-            predf = pred.astype(jnp.float32)
-            diff = predf - noise.astype(jnp.float32)
-            loss = jnp.mean(jnp.square(diff))
-            ct = (2.0 / diff.size) * diff  # dL/dpred
+        def _loss_head(pred, target, weight):
+            b = pred.shape[0]
+            diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+            per_sample = jnp.mean(jnp.square(diff).reshape(b, -1), axis=1)
+            loss = jnp.mean(per_sample * weight)
+            n_inner = diff.size // b
+            ct = diff * (2.0 * weight / (b * n_inner)).reshape(
+                (b,) + (1,) * (diff.ndim - 1)
+            )
             # the cotangent must carry the network output's dtype (bf16
             # under mixed precision), not the f32 loss-math dtype
             return loss, ct.astype(pred.dtype)
 
         self._loss_head = _loss_head
 
-        # Per-stage optimizer application: Adam-family updates are
-        # per-leaf independent, so applying the transformation to each
-        # stage's slice right after its VJP is EXACT while keeping only
-        # one stage's gradients live — the difference between fitting in
-        # 16 GB HBM and not (full-width: params+m+v alone are 10.4 GB).
+        # Per-stage optimizer application: per-leaf transforms make this
+        # EXACT while keeping only one stage's gradients live.
         @jax.jit
         def _apply_stage(pslice, opt_state, grads):
             updates, opt_state = optimizer.update(grads, opt_state, pslice)
             return optax.apply_updates(pslice, updates), opt_state
 
         self._apply_stage = _apply_stage
+
+        if ema is not None:
+            @jax.jit
+            def _ema_stage(eslice, pslice, step):
+                return ema_update(ema, eslice, pslice, step)
+
+            self._ema_stage = _ema_stage
         self._add = jax.jit(lambda a, b: a + b)
 
     # -- per-stage programs -------------------------------------------------
     def _fwd_fn(self, key):
-        if key not in self._fwd:
-            self._fwd[key] = jax.jit(self._mods[key].apply)
-        return self._fwd[key]
+        # shares SegmentedSDUNet's jit cache: eval/transfer and training
+        # reuse the same compiled stage-forward programs
+        return self.seg._stage(key, self._mods[key])
 
     def _vjp_fn(self, key):
         if key not in self._vjp:
@@ -123,17 +167,16 @@ class SegmentedSDTrainStep:
 
     # -- the step -----------------------------------------------------------
     def __call__(self, params, opt_state, latents, class_seq, rng,
-                 donate: bool = False):
-        """``donate=True`` CONSUMES ``params``/``opt_state`` (their entries
-        are dropped as each stage's update lands, freeing the old buffers).
-        Full-width on a 16 GB chip needs it — otherwise old+new params and
-        moments coexist at peak. The caller must not reuse the passed-in
-        trees afterwards."""
+                 donate: bool = False, ema_params=None, step: int = 0):
+        """``donate=True`` CONSUMES ``params``/``opt_state``/``ema_params``
+        (their entries are dropped as each stage's update lands, freeing
+        the old buffers).  Full-width on a 16 GB chip needs it — otherwise
+        old+new params and moments coexist at peak.  The caller must not
+        reuse the passed-in trees afterwards."""
         seg, cfg = self.seg, self.seg.cfg
         L = cfg.layers_per_block
         n = len(cfg.block_out_channels)
-        noisy, noise, t = self._prepare(latents, rng)
-        ctx = class_seq.astype(seg.dtype)
+        noisy, target, weight, t, ctx = self._prepare(latents, class_seq, rng)
 
         # ---- forward, recording each stage's inputs -----------------------
         args_of: Dict[str, tuple] = {}
@@ -152,7 +195,6 @@ class SegmentedSDTrainStep:
             down_out_count[key] = len(outs)
         args_of["mid"] = (x, temb, ctx)
         x = self._fwd_fn("mid")(_slice(params, seg._names("mid")), x, temb, ctx)
-        consumed: Dict[str, tuple] = {}
         for i in range(n):
             key = f"up:{i}"
             cons = tuple(skips.pop() for _ in range(L + 1))
@@ -160,16 +202,16 @@ class SegmentedSDTrainStep:
             x = self._fwd_fn(key)(
                 _slice(params, seg._names(key)), x, temb, ctx, cons
             )
-            consumed[key] = cons
         assert not skips
         args_of["out"] = (x,)
         pred = self._fwd_fn("out")(_slice(params, seg._names("out")), x)
 
-        loss, ct = self._loss_head(pred, noise)
+        loss, ct = self._loss_head(pred, target, weight)
 
         # ---- backward chain: VJP → immediate per-stage optimizer apply ----
         new_params: Dict[str, Any] = {}
         new_opt: Dict[str, Any] = {}
+        new_ema: Dict[str, Any] = {}
 
         def apply_stage(key, gp):
             names = self._names(key)
@@ -177,9 +219,14 @@ class SegmentedSDTrainStep:
             upd, st = self._apply_stage(pslice, opt_state[key], gp["params"])
             new_params.update(upd)
             new_opt[key] = st
+            if ema_params is not None:
+                eslice = {k: ema_params["params"][k] for k in upd}
+                new_ema.update(self._ema_stage(eslice, upd, step + 1))
             if donate:
                 for k in list(pslice):
                     params["params"].pop(k, None)
+                    if ema_params is not None:
+                        ema_params["params"].pop(k, None)
                 opt_state.pop(key, None)
 
         gp, ct_x = self._vjp_fn("out")(
@@ -237,7 +284,15 @@ class SegmentedSDTrainStep:
         )
         apply_stage("stem", gp)
 
-        return {"params": new_params}, new_opt, {"loss": loss}
+        metrics = {
+            "loss": loss,
+            "nonfinite": jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32),
+            # conditioning-sequence gradient; chain it through the class
+            # embedding's pad/projection at the caller to train it
+            "ctx_grad": ct_ctx,
+        }
+        ema_out = {"params": new_ema} if ema_params is not None else None
+        return {"params": new_params}, new_opt, ema_out, metrics
 
     def _names(self, key):
         return self.seg._names(key)

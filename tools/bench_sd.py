@@ -110,7 +110,7 @@ def bench_segmented(cfg, params, mode):
            "segmented": True})
 
 
-def bench_segtrain(cfg, seg, params):
+def bench_segtrain(seg, params):
     """Full-width SD fine-tune step on hardware (per-stage VJP training).
 
     Reference workload: SD-2.1 UNet + class-embedding fine-tune over frozen
@@ -130,7 +130,7 @@ def bench_segtrain(cfg, seg, params):
     ctx = pad_to_clip_sequence(emb)
 
     t0 = time.perf_counter()
-    params, opt_state, m = step(params, opt_state, lat, ctx, jax.random.key(3), donate=True)
+    params, opt_state, _, m = step(params, opt_state, lat, ctx, jax.random.key(3), donate=True)
     loss0 = float(m["loss"])
     print(f"# segtrain compile+first: {time.perf_counter()-t0:.1f}s "
           f"loss={loss0:.4f}", file=sys.stderr)
@@ -138,7 +138,7 @@ def bench_segtrain(cfg, seg, params):
     iters = 5
     t0 = time.perf_counter()
     for i in range(iters):
-        params, opt_state, m = step(
+        params, opt_state, _, m = step(
             params, opt_state, lat, ctx, jax.random.key(4 + i), donate=True
         )
     loss = float(m["loss"])  # materializes the chain
@@ -163,7 +163,7 @@ def main():
         )
         jax.block_until_ready(params)
         print(f"# init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        return bench_segtrain(cfg, seg, params)
+        return bench_segtrain(seg, params)
     if mode in ("seg", "segtransfer"):
         from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
 
