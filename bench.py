@@ -1,12 +1,17 @@
-"""Benchmark: img2img class transfers/sec/chip (the BASELINE.json metric).
+"""Benchmark: the BASELINE.md milestone metrics, ONE JSON line.
 
-Measures the north-star workload — 50-step DDIM inversion + 50-step
-regeneration at 128px (one DDIB class transfer, 100 UNet forwards per
-image) on the super_small conditional UNet — on whatever accelerator JAX
-exposes (the driver runs this on one real TPU chip).
+Default (combined) mode measures all four driver-visible numbers
+(VERDICT r2 #7) on whatever accelerator JAX exposes:
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+1. **headline** — img2img class transfers/sec/chip: 50-step DDIM inversion
+   + 50-step regeneration at 128px (one DDIB transfer = 100 UNet forwards
+   per image) on the super_small conditional UNet;
+2. train samples/sec/chip on the same config (AdamW+EMA+CFG dropout);
+3. full-width SD-2.1 segmented DDIB latent transfer @128px (the
+   reference's SD-ddib config, batch_size/a100-80gb.yaml:8);
+4. the same @512px (BASELINE.md milestone 4 resolution);
+with MFU for each (algorithmic XLA-reported FLOPs over the chip's bf16
+peak).
 
 ``vs_baseline`` compares against an *estimated* A100 throughput for the
 reference implementation, since the reference publishes no numbers
@@ -18,6 +23,8 @@ attention heads cannot reach 40% utilization on tensor-core hardware
 equivalent XLA program on v5e), so treat vs_baseline as a conservative
 lower bound.  The BASELINE.json target (≥5x A100) assumes v5p-8 hardware;
 this chip is a single v5e-lite with 63% of one A100's peak FLOPs.
+
+Set BENCH_MODE=transfer|train|sd128|sd512 to run one section alone.
 """
 
 import json
@@ -29,7 +36,6 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Remote compiles over the tunnel take minutes; cache them across runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
@@ -38,7 +44,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
-MODE = os.environ.get("BENCH_MODE", "transfer")  # transfer | train
+MODE = os.environ.get("BENCH_MODE", "combined")
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_UTILIZATION = 0.40
 # bf16 peak of the attached chip (v5e-lite), for MFU reporting (progress
@@ -52,8 +58,6 @@ def bench_train():
     Comparable fact from the reference: 112 images/GPU at 128px fp16 fit an
     A100 for from-scratch DDIM training (BASELINE.md); throughput itself is
     unpublished."""
-    import numpy as np
-
     from phendiff_tpu.core import SchedulerConfig, make_schedule
     from phendiff_tpu.models import CondUNet2D
     from phendiff_tpu.models import config as C
@@ -98,7 +102,7 @@ def bench_train():
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
     sustained = step_flops * iters / dt if step_flops else None
-    print(json.dumps({
+    return {
         "metric": f"train_samples_per_sec_per_chip_{RES}px",
         "value": round(BATCH * iters / dt, 2),
         "unit": "samples/s/chip",
@@ -108,10 +112,10 @@ def bench_train():
         "loss": float(m["loss"]),
         "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
         "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
-    }))
+    }
 
 
-def main():
+def bench_transfer():
     from phendiff_tpu.core import SchedulerConfig, make_schedule
     from phendiff_tpu.models import CondUNet2D
     from phendiff_tpu.models import config as C
@@ -183,7 +187,7 @@ def main():
     sustained = (
         transfers_per_sec * flops_per_call / BATCH if flops_per_call else None
     )
-    result = {
+    return {
         "metric": f"img2img_transfers_per_sec_per_chip_{STEPS}step_{RES}px",
         "value": round(transfers_per_sec, 3),
         "unit": "transfers/s/chip",
@@ -199,11 +203,109 @@ def main():
         "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
         "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
     }
+
+
+def bench_sd(latent: int, batch: int, steps: int = 50):
+    """Full-width SD-2.1 segmented DDIB latent transfer (milestones 3-4).
+
+    Params are zeros of the right shapes (throughput on MXU/VPU is
+    data-independent; a real init costs ~6 min of device RNG over the
+    tunnel and changes nothing about timing)."""
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+    from phendiff_tpu.models.sd_unet import SDUNetConfig
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.pipelines.transfer import ddib_stepwise
+
+    cfg = SDUNetConfig(sample_size=latent)
+    seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        seg.init, jax.random.key(0),
+        jnp.zeros((1, latent, latent, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    n = sum(p.size for p in jax.tree.leaves(params))
+
+    x = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
+    t = jnp.full((batch,), 500, jnp.int32)
+    emb = jax.random.normal(jax.random.key(3), (2, 1024)) * 0.02
+    src = pad_to_clip_sequence(jnp.tile(emb[0][None], (batch, 1)))
+    tgt = pad_to_clip_sequence(jnp.tile(emb[1][None], (batch, 1)))
+
+    t0 = time.perf_counter()
+    fwd_flops = seg.cost_flops(params, x, t, src)
+    print(f"# sd{latent * 8} stage compiles: {time.perf_counter() - t0:.1f}s "
+          f"({n / 1e6:.0f}M params, {fwd_flops / 1e12:.2f} TFLOP/fwd)",
+          file=sys.stderr)
+
+    schedule = make_schedule(SchedulerConfig(
+        num_train_timesteps=1000, timestep_spacing="trailing",
+        clip_sample=False))
+
+    def one_transfer(xc):
+        return ddib_stepwise(
+            lambda xx, tt, e: seg(params, xx, tt, e), schedule, xc, src, tgt,
+            num_inference_steps=steps,
+        )
+
+    out = one_transfer(x)
+    out.block_until_ready()  # warm (stage programs already compiled above)
+    t0 = time.perf_counter()
+    out = one_transfer(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    tps = batch / dt
+    sustained = tps * 2 * steps * fwd_flops / batch if fwd_flops else None
+    return {
+        "metric": f"sd_latent_transfers_per_sec_per_chip_{steps}step_{latent * 8}px",
+        "value": round(tps, 3),
+        "unit": "transfers/s/chip",
+        "batch": batch,
+        "latent": latent,
+        "segmented": True,
+        "denoise_steps_per_sec": round(tps * 2 * steps, 1),
+        "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
+    }
+
+
+def main():
+    if MODE == "train":
+        print(json.dumps(bench_train()))
+        return
+    if MODE == "transfer":
+        print(json.dumps(bench_transfer()))
+        return
+    if MODE == "sd128":
+        print(json.dumps(bench_sd(16, int(os.environ.get("BENCH_SD_BATCH", "64")))))
+        return
+    if MODE == "sd512":
+        print(json.dumps(bench_sd(64, int(os.environ.get("BENCH_SD_BATCH", "8")))))
+        return
+
+    # combined: ONE line carrying all four milestone numbers (VERDICT r2 #7)
+    result = bench_transfer()
+    try:
+        train = bench_train()
+        result["train_samples_per_sec_per_chip"] = train["value"]
+        result["train_mfu"] = train["mfu"]
+    except Exception as e:  # keep the headline even if a section dies
+        print(f"# train section failed: {e}", file=sys.stderr)
+    try:
+        sd128 = bench_sd(16, int(os.environ.get("BENCH_SD_BATCH_128", "64")))
+        result["sd_transfers_per_sec_per_chip_128px"] = sd128["value"]
+        result["sd_mfu_128px"] = sd128["mfu"]
+    except Exception as e:
+        print(f"# sd128 section failed: {e}", file=sys.stderr)
+    try:
+        sd512 = bench_sd(64, int(os.environ.get("BENCH_SD_BATCH_512", "8")))
+        result["sd_transfers_per_sec_per_chip_512px"] = sd512["value"]
+        result["sd_mfu_512px"] = sd512["mfu"]
+    except Exception as e:
+        print(f"# sd512 section failed: {e}", file=sys.stderr)
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    if MODE == "train":
-        bench_train()
-    else:
-        main()
+    main()

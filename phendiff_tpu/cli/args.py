@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--attention_fine_tuning", action="store_true",
                    help="fine-tune attention layers only")
+    p.add_argument("--segmented_sd", type=str, default="auto",
+                   choices=("auto", "on", "off"),
+                   help="run the SD family as segmented per-stage programs "
+                        "(host-driven) instead of one jitted step — 'auto' "
+                        "selects it when the UNet exceeds what constrained "
+                        "compile transports can ship (full-width SD-2.1)")
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--learn_denoiser_from_scratch", action="store_true",
                    help="keep the pretrained pipeline's config/VAE but "
@@ -232,6 +238,14 @@ def check_args(args) -> List[str]:
             raise ValueError(
                 "DDIM's class embedding lives inside the denoiser; train 'denoiser'"
             )
+
+    # attention fine-tuning can only apply on top of a trained denoiser
+    # (reference train.py:202-220 raises the same two errors)
+    if args.attention_fine_tuning and "denoiser" not in args.components_to_train:
+        raise ValueError(
+            "Attention fine tuning requires 'denoiser' to be trained "
+            "(set --components_to_train)"
+        )
 
     # pretrained vs config exclusivity (:146-168)
     if (

@@ -132,9 +132,34 @@ def main(argv=None):
             attention_fine_tuning=args.attention_fine_tuning,
         )
     else:
+        n_params = sum(p.size for p in jax.tree_util.tree_leaves(
+            pipeline.unet_params))
+        use_segmented = args.segmented_sd == "on" or (
+            args.segmented_sd == "auto" and n_params > 200_000_000
+        )
+        if use_segmented:
+            # full-width route: per-stage programs + per-stage-VJP training
+            # (the monolithic step's HLO exceeds constrained compile
+            # transports at SD-2.1 width — models/sd_segmented.py)
+            if args.attention_fine_tuning:
+                raise NotImplementedError(
+                    "--attention_fine_tuning is not supported on the "
+                    "segmented route yet; use --segmented_sd off"
+                )
+            from phendiff_tpu.train.segmented_trainer import SegmentedSDTrainer
+
+            seg_trainer = SegmentedSDTrainer(
+                pipeline, config, paths,
+                components_to_train=tuple(args.components_to_train),
+            )
+            out = seg_trainer.run()
+            print(f"done: {int(out['step'])} steps; best "
+                  f"{config.eval.main_metric} = {seg_trainer.best_metric}")
+            return 0
         trainer = for_sd_pipeline(
             pipeline, config, paths,
             components_to_train=tuple(args.components_to_train),
+            attention_fine_tuning=args.attention_fine_tuning,
         )
     state = trainer.run()
     print(f"done: {int(state.step)} steps; best {config.eval.main_metric} = "

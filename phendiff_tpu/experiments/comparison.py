@@ -77,6 +77,11 @@ class ComparisonConfig:
     sweep_metric: Optional[str] = None  # "method/pipe/split/metric"
     debug: bool = False
     seed: int = 0
+    # Segmented execution of SD pipelines (host-driven stepwise loops over
+    # per-stage programs instead of one jitted scan): None = auto-select
+    # when the UNet is too large for a monolithic program on constrained
+    # compile transports (the full-width SD-2.1 case, docs/BENCHMARKS.md).
+    segmented_sd: Optional[bool] = None
 
     @classmethod
     def from_yaml(cls, path: str) -> "ComparisonConfig":
@@ -94,9 +99,82 @@ class ComparisonConfig:
         return cls(method_params=mp, metrics=metrics, **raw)
 
 
-def _make_transfer_fn(pipe, method: str, params: MethodParams, steps: int):
+# Above this UNet param count, auto-select the segmented route: the
+# monolithic 866M SD-2.1 sampling scan exceeds constrained compile
+# transports (models/sd_segmented.py's rationale).
+_SEGMENTED_AUTO_PARAMS = 200_000_000
+
+
+def _make_segmented_transfer_fn(
+    pipe: SDImg2ImgPipeline, method: str, params: MethodParams, steps: int
+):
+    """Full-width SD route: VAE encode → host-driven stepwise transfer over
+    the segmented stage programs → VAE decode.  Matches the reference's
+    SD-as-first-class-pipeline comparison path
+    (``img2img_comparison.py:100,136-155``) at widths the jitted scan
+    cannot reach."""
+    from phendiff_tpu.models.autoencoder_kl import (
+        decode_from_latents,
+        encode_to_latents,
+    )
+    from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+    from phendiff_tpu.pipelines.conditional_ddim import (
+        GuidanceConfig,
+        ddim_sample_stepwise,
+    )
+
+    seg = SegmentedSDUNet(pipe.unet_config, dtype=pipe.dtype)
+    unet_params = pipe.unet_params
+    schedule = pipe.schedule
+
+    def denoiser(x, t, emb):
+        return seg(unet_params, x, t, emb)
+
+    encode = jax.jit(
+        lambda vp, images: encode_to_latents(pipe.vae, vp, images)
+    )
+    decode = jax.jit(lambda vp, lat: decode_from_latents(pipe.vae, vp, lat))
+
+    def fn(images, src_labels, tgt_labels, rng):
+        x = encode(pipe.vae_params, images)
+        src_emb = pipe.encode_class(src_labels)
+        tgt_emb = pipe.encode_class(tgt_labels)
+        if method == "ddib":
+            out = T.ddib_stepwise(denoiser, schedule, x, src_emb, tgt_emb,
+                                  num_inference_steps=steps)
+        elif method == "inverted_regeneration":
+            out = T.ddib_stepwise(denoiser, schedule, x, src_emb, src_emb,
+                                  num_inference_steps=steps)
+        elif method == "classifier_free_guidance_forward_start":
+            out = ddim_sample_stepwise(
+                denoiser, schedule, tgt_emb,
+                start_image=x, rng=rng, add_forward_noise=True,
+                num_inference_steps=steps,
+                frac_diffusion_skipped=params.frac_diffusion_skipped,
+                guidance=GuidanceConfig(params.guidance_scale),
+            )
+        elif method == "linear_interp_custom_guidance_inverted_start":
+            raise NotImplementedError(
+                "the reconstruction-guided method differentiates through "
+                "the UNet at every step; its monolithic grad program does "
+                "not fit constrained compile transports at full width — "
+                "run it on a pipeline whose monolithic program compiles"
+            )
+        else:
+            raise ValueError(f"unknown transfer method: {method}")
+        return decode(pipe.vae_params, out)
+
+    return fn
+
+
+def _make_transfer_fn(
+    pipe, method: str, params: MethodParams, steps: int,
+    segmented: bool = False,
+):
     """One jitted function (images, src_labels, tgt_labels, rng) → images."""
     is_sd = isinstance(pipe, SDImg2ImgPipeline)
+    if segmented and is_sd:
+        return _make_segmented_transfer_fn(pipe, method, params, steps)
 
     if is_sd:
         denoiser = pipe.denoiser_fn()
@@ -188,6 +266,14 @@ class ComparisonExperiment:
             return SDImg2ImgPipeline.from_pretrained(path)
         raise ValueError(f"unknown pipeline kind {kind} at {path}")
 
+    def _use_segmented(self, pipe) -> bool:
+        if not isinstance(pipe, SDImg2ImgPipeline):
+            return False
+        if self.config.segmented_sd is not None:
+            return self.config.segmented_sd
+        n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(pipe.unet_params))
+        return n > _SEGMENTED_AUTO_PARAMS
+
     # -- transfers ---------------------------------------------------------
     def run_transfers(self) -> None:
         cfg = self.config
@@ -195,7 +281,10 @@ class ComparisonExperiment:
         for method in cfg.methods:
             params = cfg.method_params.get(method, MethodParams())
             for pipe_name, pipe in self.pipes.items():
-                fn = _make_transfer_fn(pipe, method, params, cfg.num_inference_steps)
+                fn = _make_transfer_fn(
+                    pipe, method, params, cfg.num_inference_steps,
+                    segmented=self._use_segmented(pipe),
+                )
                 for split_name, index in self.splits.items():
                     out_dir = os.path.join(
                         cfg.output_dir, method, pipe_name, split_name

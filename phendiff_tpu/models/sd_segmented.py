@@ -265,6 +265,35 @@ class SegmentedSDUNet:
         take("out", self._out, x)
         return {"params": merged}
 
+    def cost_flops(self, params, sample, timesteps, encoder_hidden_states):
+        """XLA-reported FLOPs of ONE forward = sum over the stage programs'
+        cost analyses (each lower+compile hits the persistent compilation
+        cache after the first run).  Used by bench.py for MFU."""
+        total = 0.0
+
+        def run(key, mod, *args):
+            nonlocal total
+            pslice = _slice(params, self._names(key))
+            fn = self._stage(key, mod)
+            ca = fn.lower(pslice, *args).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            total += float(ca.get("flops", 0.0)) if ca else 0.0
+            return fn(pslice, *args)
+
+        cfg = self.cfg
+        ctx = encoder_hidden_states.astype(self.dtype)
+        x, temb = run("stem", self._stem, sample, timesteps)
+        skips = [x]
+        for i, mod in enumerate(self._down):
+            x, outs = run(f"down:{i}", mod, x, temb, ctx)
+            skips.extend(outs)
+        x = run("mid", self._mid, x, temb, ctx)
+        for i, mod in enumerate(self._up):
+            consume = tuple(skips.pop() for _ in range(cfg.layers_per_block + 1))
+            x = run(f"up:{i}", mod, x, temb, ctx, consume)
+        run("out", self._out, x)
+        return total
+
     def __call__(self, params, sample, timesteps, encoder_hidden_states):
         cfg = self.cfg
         ctx = encoder_hidden_states.astype(self.dtype)

@@ -78,10 +78,12 @@ def multi_head_attention(
 
     implementation: None (auto) | "xla" | "pallas".
     """
+    forced_by_env = False
     if implementation is None:
         env = os.environ.get(_IMPL_ENV, "auto")
         if env in ("xla", "pallas"):
             implementation = env
+            forced_by_env = True
         else:
             use_pallas = (
                 _on_tpu()
@@ -89,6 +91,16 @@ def multi_head_attention(
                 and q.shape[1] == k.shape[1]
             )
             implementation = "pallas" if use_pallas else "xla"
+    if implementation == "pallas" and q.shape[1] != k.shape[1]:
+        # the fused kernel is self-attention only (its grid/ones-row sizing
+        # assumes s_q == s_kv); cross-attention (s_kv=77) must not reach it
+        if forced_by_env:
+            implementation = "xla"  # env override is a preference, not a demand
+        else:
+            raise ValueError(
+                "implementation='pallas' does not support cross-attention "
+                f"(s_q={q.shape[1]} != s_kv={k.shape[1]}); use the XLA path"
+            )
     if implementation == "xla":
         return attention_xla(q, k, v, scale=scale)
     if implementation == "pallas":

@@ -28,6 +28,7 @@ TPU-first differences from the reference:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional, Union
 
 import jax
@@ -192,6 +193,100 @@ def ddim_sample(
         return x, None
 
     x, _ = jax.lax.scan(body, x, (pairs, step_keys))
+    return x
+
+
+# Module-level jitted per-step updates so the cache survives across
+# stepwise-sampler calls: CFG combine + DDIM step in ONE program
+# (NoiseSchedule is a pytree with static config, so it passes through jit).
+@functools.partial(jax.jit, static_argnums=(5,))
+def _stepwise_cfg_update(schedule, cond, uncond, x, pair, equation, w):
+    w = jnp.asarray(w, jnp.float32)
+    if w.ndim > 0:  # per-sample tensor w (reference :272-284)
+        w = w.reshape((-1,) + (1,) * (cond.ndim - 1))
+    if equation == "imagen":
+        model_out = uncond + w * (cond - uncond)
+    else:
+        model_out = cond + w * (cond - uncond)
+    return S.ddim_step(schedule, model_out, pair[0], pair[1], x)
+
+
+_stepwise_plain_update = jax.jit(
+    lambda schedule, model_out, x, pair: S.ddim_step(
+        schedule, model_out, pair[0], pair[1], x
+    )
+)
+
+
+def ddim_sample_stepwise(
+    denoiser: DenoiserFn,
+    schedule: S.NoiseSchedule,
+    class_emb: Array,
+    *,
+    shape: Optional[tuple] = None,
+    rng: Optional[Array] = None,
+    start_image: Optional[Array] = None,
+    add_forward_noise: bool = False,
+    num_inference_steps: int = DEFAULT_NUM_INFERENCE_STEPS,
+    frac_diffusion_skipped: float = 0.0,
+    strength: Optional[float] = None,
+    guidance: GuidanceConfig = GuidanceConfig(),
+    uncond_emb: Optional[Array] = None,
+) -> Array:
+    """``ddim_sample`` semantics (same rng discipline, batched cond+uncond
+    CFG forward, both guidance equations; eta=0 only) as a HOST-DRIVEN
+    step loop — one denoiser call chain per step instead of one
+    ``lax.scan``.  For denoisers that cannot live inside a scan body,
+    e.g. the full-width segmented SD UNet whose monolithic HLO exceeds
+    constrained compile transports (``models/sd_segmented.py``).  Dispatch
+    runs ahead of execution, so the device pipeline stays busy; only the
+    cross-step fusion of the scan is lost.  Trajectories match
+    ``ddim_sample`` exactly for the same arguments
+    (tests/test_segmented_trainer.py)."""
+    if num_inference_steps < 1:
+        raise ValueError("num_inference_steps must be >= 1")
+    if start_image is None:
+        if shape is None or rng is None:
+            raise ValueError("need shape+rng when no start_image is given")
+        rng, sub = jax.random.split(rng)
+        x = jax.random.normal(sub, shape, dtype=jnp.float32)
+    else:
+        x = start_image.astype(jnp.float32)
+
+    ts, t_prev = S.timestep_pairs(
+        schedule.config, num_inference_steps, frac_diffusion_skipped
+    )
+    if strength is not None:
+        ts, t_prev = truncate_pairs_by_strength(ts, t_prev, strength)
+
+    if add_forward_noise:
+        if rng is None:
+            raise ValueError("add_forward_noise requires rng")
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        x = S.add_noise(schedule, x, noise, jnp.asarray(ts[0]))
+
+    do_cfg = guidance.active
+    if do_cfg and uncond_emb is None:
+        uncond_emb = jnp.zeros_like(class_emb)
+
+    b = x.shape[0]
+    for te, tp in zip(ts, t_prev):
+        pair = jnp.asarray([int(te), int(tp)], jnp.int32)
+        t = jnp.broadcast_to(jnp.asarray(int(te), jnp.int32), (b,))
+        if do_cfg:
+            out2 = denoiser(
+                jnp.concatenate([x, x], axis=0),
+                jnp.concatenate([t, t], axis=0),
+                jnp.concatenate([class_emb, uncond_emb], axis=0),
+            )
+            cond, uncond = jnp.split(out2, 2, axis=0)
+            x = _stepwise_cfg_update(
+                schedule, cond, uncond, x, pair, guidance.equation,
+                guidance.guidance_factor,
+            )
+        else:
+            x = _stepwise_plain_update(schedule, denoiser(x, t, class_emb), x, pair)
     return x
 
 

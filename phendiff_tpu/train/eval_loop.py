@@ -108,27 +108,29 @@ class Evaluator:
         self.shard_fn = shard_fn or (lambda x: x)
 
     # -- reference features (cached per class) -----------------------------
-    def _cache_key(self, class_name: str, src) -> str:
+    def _cache_key(self, class_label: int, class_name: str) -> str:
         """Cache key tied to the reference-set identity, not just the class
         name: the same shared ``.fidelity_cache`` may be hit by runs with
         different definitions, perc_samples subsets, or dataset sources —
         a name-only key silently reuses features of the wrong reference
-        distribution."""
+        distribution.  Derived WITHOUT materializing the per-class subset:
+        on the HF route ``for_class`` runs a full ``datasets.filter`` scan,
+        which must only happen on cache misses (inside ``compute``)."""
         h = hashlib.md5()
         h.update(repr(self.definition).encode())
-        if isinstance(src, DatasetIndex):
-            for p in src.paths:
+        if isinstance(self.raw_index, DatasetIndex):
+            # per-class path list (cheap: list filtering, no IO)
+            for p in self.raw_index.for_class(class_label).paths:
                 h.update(p.encode())
-        else:  # HF adapter: the dataset fingerprint identifies content
-            h.update(str(
-                getattr(src.dataset, "_fingerprint", len(src.dataset))
-            ).encode())
+        else:  # HF adapter: parent fingerprint + class label identify it
+            ds = self.raw_index.dataset
+            h.update(str(getattr(ds, "_fingerprint", len(ds))).encode())
+            h.update(str(class_label).encode())
         return f"{class_name}_{h.hexdigest()[:10]}"
 
     def _reference_features(self, class_label: int, class_name: str):
-        src = self.raw_index.for_class(class_label)
-
         def compute():
+            src = self.raw_index.for_class(class_label)
             if isinstance(src, DatasetIndex):
                 loader = ImageFolderLoader(
                     src,
@@ -151,11 +153,31 @@ class Evaluator:
             return {"features": feats}
 
         if self.cache is not None:
-            key = self._cache_key(class_name, src)
+            key = self._cache_key(class_label, class_name)
             return self.cache.get_or_compute(key, compute)["features"]
         return compute()["features"]
 
     # -- generation --------------------------------------------------------
+    @staticmethod
+    def _gather(x) -> np.ndarray:
+        """``np.asarray`` that also handles MULTI-PROCESS-sharded arrays:
+        each process contributes its addressable shards and allgathers the
+        rest, so every process holds the identical full array — the
+        TPU-native version of the reference's rank-sharded generation
+        funneled to a main-process metric pass
+        (``utils_training.py:712-766``, which round-trips through PNG
+        files on disk between ranks)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            local = np.concatenate([
+                np.asarray(s.data)
+                for s in sorted(x.addressable_shards, key=lambda s: s.index)
+            ])
+            gathered = np.asarray(multihost_utils.process_allgather(local))
+            return gathered.reshape((-1,) + tuple(x.shape[1:]))
+        return np.asarray(x)
+
     def _generate_class(
         self, generate_fn: Callable, class_label: int, rng: Array
     ):
@@ -174,10 +196,10 @@ class Evaluator:
             out = generate_fn(labels, sub, cfg.num_inference_steps)
             imgs01 = to_images(out)
             f, l = self.extractor(imgs01)
-            feats.append(np.asarray(f))
-            logits.append(np.asarray(l))
+            feats.append(self._gather(f))
+            logits.append(self._gather(l))
             if first_batch is None:
-                first_batch = np.asarray(imgs01[:50])
+                first_batch = self._gather(imgs01)[:50]
         n = cfg.nb_generated_images
         return (
             np.concatenate(feats)[:n],

@@ -15,61 +15,165 @@ emits cotangents for the 3 skip tensors it consumed, which are delivered
 to the producing down stage (jax.vjp sums the x-output / skip-output
 cotangents that alias the same tensor inside a stage); the timestep- and
 context-embedding cotangents accumulate across every stage and flow into
-the stem (time) / the returned metrics (``ctx_grad``).  Gradients are
-verified to match ``jax.grad`` of the monolithic ``SDUNet``
-(tests/test_segmented_train.py).
+the stem (time) / the ``ctx`` stage or ``metrics["ctx_grad"]`` (class
+conditioning).  Gradients are verified to match ``jax.grad`` of the
+monolithic ``SDUNet`` (tests/test_segmented_train.py).
 
-The optimizer applies per stage, immediately after each stage's VJP —
-exact for per-leaf transforms, and essential for memory: only one stage's
-gradients are ever live, so full-width training fits a 16 GB chip
-alongside the 10.4 GB of f32 params+moments.  **The optimizer MUST be a
-per-leaf transform** (adam/adamw/sgd, optionally with an optax
-learning-rate schedule): a global-norm clipper like the one
-``train_loop.make_optimizer`` chains would clip by each *stage's* norm
-here, silently diverging from monolithic training.
+The optimizer applies per stage — exact for per-leaf transforms, and
+essential for memory: at most one stage's gradients are live during the
+apply, so full-width training fits a 16 GB chip alongside the 10.4 GB of
+f32 params+moments.  Per-leaf-ness is ENFORCED at construction
+(``check_per_leaf_optimizer``): a globally-coupled transform like
+``optax.clip_by_global_norm`` chained into the optimizer would silently
+clip by each *stage's* norm.  The reference's global grad clipping
+(``src/utils_training.py:439-449``, always max_grad_norm=1.0) is instead
+provided natively via ``max_grad_norm=``, with two exact schemes:
+
+* ``clip_mode="cache"`` — one backward chain; per-stage gradients are
+  cached (f32, ≈3.5 GB at full width) while the global squared norm
+  accumulates, then every stage's cached gradient is scaled by the global
+  clip factor and applied.  Fastest; needs grad-sized headroom.
+* ``clip_mode="recompute"`` — two backward chains; the first computes
+  only the squared norms (each stage's gradients are reduced and dropped
+  immediately), the second re-runs the same VJP programs with the loss
+  cotangent pre-scaled by the clip factor — gradients are linear in the
+  cotangent, so every leaf comes out exactly ``scale * grad`` — and
+  applies per stage.  ≤1 stage's gradients ever live; costs a second
+  backward.
+
+Class-embedding fine-tuning (``components_to_train`` including
+``class_embedding``, reference ``src/utils_training.py:459-496``) is a
+first-class ``ctx`` stage: pass ``ctx_module=CtxEmbed(...)`` and integer
+labels instead of a precomputed conditioning sequence, and the embedding
+table trains through the same per-stage optimizer/EMA/clip machinery —
+including the CFG-dropout mask in its chain rule (a dropped batch sends
+zero gradient to the embedding, matching the reference's uncond pass).
 
 Covered training semantics: all three prediction types with the same
 targets/SNR weighting as ``train_loop.diffusion_loss``, shared-key CFG
 dropout (``proba_uncond``), optional per-stage EMA, a nonfinite-loss
-flag, and the class-conditioning gradient (``metrics["ctx_grad"]`` —
-backprop it through ``pad_to_clip_sequence``/the embedding table with
-``jax.vjp`` at the caller to fine-tune the custom class embedding).
-Run-loop concerns (checkpoint cadence, eval, resume) stay with the
-standard ``Trainer``, which covers the SD family end-to-end at widths
-whose monolithic programs compile.  Reference loss:
-``src/utils_training.py:490-538``.
+flag, and the global grad-norm metric.  Run-loop concerns (checkpoint
+cadence, eval, resume) live in ``train/segmented_trainer.py``.
+Reference loss: ``src/utils_training.py:490-538``.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from flax import linen as nn
 
 from phendiff_tpu.core import scheduler as S
+from phendiff_tpu.models.embeddings import ClassEmbedding, pad_to_clip_sequence
 from phendiff_tpu.models.sd_segmented import SegmentedSDUNet, _slice
 from phendiff_tpu.train.ema import EMAConfig, ema_update
 
 Array = jax.Array
 
 
+class CtxEmbed(nn.Module):
+    """The SD class-conditioning head as a trainable stage: embedding-table
+    lookup + CLIP-sequence padding (reference ``utils_training.py:479-484``).
+
+    The param tree is ``{"class_embedding": {"embedding": {"embedding": t}}}``
+    whose inner structure matches ``SDImg2ImgPipeline.class_embedding_params``
+    — weights move 1:1 between the pipeline and the segmented trainer.
+    """
+
+    num_classes: int
+    embedding_dim: int = 1024
+    seq_len: int = 77
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: Array) -> Array:
+        emb = ClassEmbedding(
+            self.num_classes, self.embedding_dim, name="class_embedding"
+        )(labels)
+        return pad_to_clip_sequence(emb.astype(self.dtype), self.seq_len)
+
+
+def check_per_leaf_optimizer(optimizer: optax.GradientTransformation) -> None:
+    """Reject globally-coupled gradient transforms.
+
+    Per-stage application is exact only when each leaf's update depends on
+    that leaf's own gradient/param/state.  A chained
+    ``optax.clip_by_global_norm`` (what ``train_loop.make_optimizer``
+    builds — the reference's max_grad_norm semantics) violates this and
+    would silently clip by each stage's norm.  Probe: run TWO update steps
+    on a two-leaf tree, twice, with only leaf ``b``'s first-step gradient
+    changed; leaf ``a``'s updates must not move.  (Two steps because
+    Adam's *first* update is scale-invariant — ``g/√g²`` — so a global
+    clip only becomes visible through the moment accumulators.)
+    Structure-bound optimizers that cannot init on the probe tree are
+    skipped (the caller takes responsibility).
+    """
+    probe = {"a": jnp.ones((2,), jnp.float32), "b": jnp.zeros((3,), jnp.float32)}
+    ga1 = {"a": jnp.full((2,), 100.0), "b": jnp.zeros((3,), jnp.float32)}
+    gb1 = {"a": jnp.full((2,), 100.0), "b": jnp.full((3,), 1e4, jnp.float32)}
+    g_2 = {"a": jnp.full((2,), 1.0), "b": jnp.zeros((3,), jnp.float32)}
+
+    def two_steps(g_first):
+        st = optimizer.init(probe)
+        u1, st = optimizer.update(g_first, st, probe)
+        p = optax.apply_updates(probe, u1)
+        u2, _ = optimizer.update(g_2, st, p)
+        return u1["a"], u2["a"]
+
+    try:
+        u1a, u2a = two_steps(ga1)
+        u1b, u2b = two_steps(gb1)
+    except Exception:
+        return
+    if not (
+        np.allclose(np.asarray(u1a), np.asarray(u1b))
+        and np.allclose(np.asarray(u2a), np.asarray(u2b))
+    ):
+        raise ValueError(
+            "SegmentedSDTrainStep requires a PER-LEAF optimizer (adam/adamw/"
+            "sgd, optionally with an lr schedule or a multi_transform "
+            "freeze mask). The one passed couples leaves globally — e.g. a "
+            "chained optax.clip_by_global_norm — which per-stage "
+            "application would silently turn into per-STAGE clipping. Pass "
+            "the reference's global grad clipping via max_grad_norm= "
+            "instead (utils_training.py:439-449)."
+        )
+
+
 class SegmentedSDTrainStep:
     """Callable
-    ``(params, opt_state, latents, class_seq, rng, …) →
+    ``(params, opt_state, latents, cond, rng, …) →
     (params, opt_state, ema_params, metrics)``
-    for the reference SD fine-tune loss."""
+    for the reference SD fine-tune loss.
+
+    ``cond`` is the conditioning sequence ``[B, 77, D]`` — or integer class
+    labels ``[B]`` when ``ctx_module`` is provided, in which case
+    ``params["params"]["class_embedding"]`` holds the embedding stage and
+    trains alongside the UNet.
+    """
 
     def __init__(self, seg: SegmentedSDUNet, schedule: S.NoiseSchedule,
                  optimizer: optax.GradientTransformation,
                  proba_uncond: float = 0.0,
-                 ema: Optional[EMAConfig] = None):
+                 ema: Optional[EMAConfig] = None,
+                 max_grad_norm: Optional[float] = None,
+                 clip_mode: str = "cache",
+                 ctx_module: Optional[nn.Module] = None):
+        check_per_leaf_optimizer(optimizer)
+        if clip_mode not in ("cache", "recompute"):
+            raise ValueError(f"unknown clip_mode: {clip_mode!r}")
         self.seg = seg
         self.schedule = schedule
         self.optimizer = optimizer
         self.proba_uncond = proba_uncond
         self.ema_config = ema
+        self.max_grad_norm = max_grad_norm
+        self.clip_mode = clip_mode
+        self.ctx_module = ctx_module
         self._vjp: Dict[str, Any] = {}
         cfg = seg.cfg
         n = len(cfg.block_out_channels)
@@ -80,13 +184,15 @@ class SegmentedSDTrainStep:
             + [(f"up:{i}", seg._up[i]) for i in range(n)]
             + [("out", seg._out)]
         )
+        if ctx_module is not None:
+            self._stages.append(("ctx", ctx_module))
         self._mods = dict(self._stages)
         pt = schedule.config.prediction_type
         if pt not in ("epsilon", "sample", "v_prediction"):
             raise ValueError(f"unknown prediction_type: {pt}")
 
         @jax.jit
-        def _prepare(latents, class_seq, rng):
+        def _prepare(latents, rng):
             b = latents.shape[0]
             k_t, k_n, k_flip = jax.random.split(rng, 3)
             t = jax.random.randint(
@@ -103,14 +209,25 @@ class SegmentedSDTrainStep:
             else:  # v_prediction
                 target = S.velocity(schedule, latents, noise, t)
                 weight = jnp.ones((b,), jnp.float32)
-            ctx = class_seq.astype(seg.dtype)
             if proba_uncond > 0.0:
                 # batch-level coin flip, shared key (train_loop.py:216-220)
                 uncond = jax.random.bernoulli(k_flip, proba_uncond)
-                ctx = ctx * (1.0 - uncond.astype(ctx.dtype))
-            return noisy, target, weight, t, ctx
+                keep = 1.0 - uncond.astype(jnp.float32)
+            else:
+                keep = jnp.ones((), jnp.float32)
+            return noisy, target, weight, t, keep
 
         self._prepare = _prepare
+
+        dtype = seg.dtype
+        # CFG-dropout mask on the conditioning sequence, and its chain rule
+        # for the raw-conditioning cotangent (a dropped batch must send
+        # ZERO gradient into the class embedding — the reference's uncond
+        # pass never touches it, hence its find_unused_parameters hack)
+        self._mask_ctx = jax.jit(
+            lambda c, keep: c.astype(dtype) * keep.astype(dtype)
+        )
+        self._mask_ct = jax.jit(lambda ct, keep: ct * keep.astype(ct.dtype))
 
         @jax.jit
         def _loss_head(pred, target, weight):
@@ -129,13 +246,35 @@ class SegmentedSDTrainStep:
         self._loss_head = _loss_head
 
         # Per-stage optimizer application: per-leaf transforms make this
-        # EXACT while keeping only one stage's gradients live.
+        # EXACT while keeping only one stage's gradients live.  ``scale``
+        # is the global clip factor (1.0 when no clipping applies).
         @jax.jit
-        def _apply_stage(pslice, opt_state, grads):
+        def _apply_stage(pslice, opt_state, grads, scale):
+            grads = jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
             updates, opt_state = optimizer.update(grads, opt_state, pslice)
             return optax.apply_updates(pslice, updates), opt_state
 
         self._apply_stage = _apply_stage
+
+        # squared-norm reduction of one stage's gradient slice (f32, as
+        # optax.global_norm computes it)
+        self._sq_norm = jax.jit(
+            lambda g: sum(
+                jnp.sum(jnp.square(x.astype(jnp.float32)))
+                for x in jax.tree.leaves(g)
+            )
+        )
+        max_norm = max_grad_norm if max_grad_norm is not None else 0.0
+
+        @jax.jit
+        def _clip_scale(sq):
+            g_norm = jnp.sqrt(sq)
+            # optax.clip_by_global_norm semantics: identity below the
+            # threshold, scale to max_norm above it
+            return jnp.where(g_norm < max_norm, 1.0, max_norm / g_norm), g_norm
+
+        self._clip_scale = _clip_scale
+        self._scale_ct = jax.jit(lambda ct, s: ct * s.astype(ct.dtype))
 
         if ema is not None:
             @jax.jit
@@ -144,6 +283,17 @@ class SegmentedSDTrainStep:
 
             self._ema_stage = _ema_stage
         self._add = jax.jit(lambda a, b: a + b)
+
+        if ctx_module is not None:
+            @jax.jit
+            def _ctx_vjp(pslice, labels, ct_raw):
+                _, vjp = jax.vjp(
+                    lambda p: ctx_module.apply(p, labels), pslice
+                )
+                (gp,) = vjp(ct_raw)
+                return gp["params"]
+
+            self._ctx_vjp = _ctx_vjp
 
     # -- per-stage programs -------------------------------------------------
     def _fwd_fn(self, key):
@@ -165,8 +315,71 @@ class SegmentedSDTrainStep:
             self._vjp[key] = f
         return self._vjp[key]
 
+    # -- backward chain -----------------------------------------------------
+    def _run_backward(self, params, args_of, noisy, t, ct, down_out_count,
+                      on_stage: Callable[[str, Any], None]):
+        """VJP chain out → up* → mid → down* → stem; calls
+        ``on_stage(key, grads_pslice)`` per stage and returns the
+        accumulated cotangent of the MASKED conditioning sequence."""
+        n = len(self.seg.cfg.block_out_channels)
+        gp, ct_x = self._vjp_fn("out")(
+            _slice(params, self._names("out")), args_of["out"], ct
+        )
+        on_stage("out", gp["params"])
+
+        ct_temb = None
+        ct_ctx = None
+
+        def acc(a, b):
+            return b if a is None else a + b
+
+        skip_cts: List[Any] = []  # cotangents for the global skip stack
+        for i in reversed(range(n)):
+            key = f"up:{i}"
+            gp, ct_x, d_temb, d_ctx, d_skips = self._vjp_fn(key)(
+                _slice(params, self._names(key)), args_of[key], ct_x
+            )
+            on_stage(key, gp["params"])
+            ct_temb = acc(ct_temb, d_temb)
+            ct_ctx = acc(ct_ctx, d_ctx)
+            # cons was popped off the stack top, so reversed(d_skips) is in
+            # stack order; processing up stages last-to-first walks the
+            # stack bottom-up — append to rebuild bottom→top order
+            skip_cts = skip_cts + list(reversed(d_skips))
+
+        gp, ct_x, d_temb, d_ctx = self._vjp_fn("mid")(
+            _slice(params, self._names("mid")), args_of["mid"], ct_x
+        )
+        on_stage("mid", gp["params"])
+        ct_temb = acc(ct_temb, d_temb)
+        ct_ctx = acc(ct_ctx, d_ctx)
+
+        for i in reversed(range(n)):
+            key = f"down:{i}"
+            cnt = down_out_count[key]
+            outs_ct = skip_cts[-cnt:]
+            skip_cts = skip_cts[:-cnt]
+            gp, d_x, d_temb, d_ctx = self._vjp_fn(key)(
+                _slice(params, self._names(key)), args_of[key],
+                (ct_x, outs_ct),
+            )
+            on_stage(key, gp["params"])
+            ct_x = d_x
+            ct_temb = acc(ct_temb, d_temb)
+            ct_ctx = acc(ct_ctx, d_ctx)
+
+        # the single remaining slot is conv_in's output consumed as the
+        # deepest up-stage skip
+        (stem_skip_ct,) = skip_cts
+        ct_x = self._add(ct_x, stem_skip_ct)
+        gp, _d_sample, _d_t = self._vjp_fn("stem")(
+            _slice(params, self._names("stem")), (noisy, t), (ct_x, ct_temb)
+        )
+        on_stage("stem", gp["params"])
+        return ct_ctx
+
     # -- the step -----------------------------------------------------------
-    def __call__(self, params, opt_state, latents, class_seq, rng,
+    def __call__(self, params, opt_state, latents, cond, rng,
                  donate: bool = False, ema_params=None, step: int = 0):
         """``donate=True`` CONSUMES ``params``/``opt_state``/``ema_params``
         (their entries are dropped as each stage's update lands, freeing
@@ -176,7 +389,16 @@ class SegmentedSDTrainStep:
         seg, cfg = self.seg, self.seg.cfg
         L = cfg.layers_per_block
         n = len(cfg.block_out_channels)
-        noisy, target, weight, t, ctx = self._prepare(latents, class_seq, rng)
+        noisy, target, weight, t, keep = self._prepare(latents, rng)
+
+        if self.ctx_module is not None:
+            labels = cond
+            ctx_raw = self._fwd_fn("ctx")(
+                _slice(params, self._names("ctx")), labels
+            )
+        else:
+            ctx_raw = cond
+        ctx = self._mask_ctx(ctx_raw, keep)
 
         # ---- forward, recording each stage's inputs -----------------------
         args_of: Dict[str, tuple] = {}
@@ -208,15 +430,18 @@ class SegmentedSDTrainStep:
 
         loss, ct = self._loss_head(pred, target, weight)
 
-        # ---- backward chain: VJP → immediate per-stage optimizer apply ----
+        # ---- backward + per-stage optimizer apply -------------------------
         new_params: Dict[str, Any] = {}
         new_opt: Dict[str, Any] = {}
         new_ema: Dict[str, Any] = {}
+        ones = jnp.ones((), jnp.float32)
 
-        def apply_stage(key, gp):
+        def apply_stage(key, grads, scale):
             names = self._names(key)
             pslice = _slice(params, names)["params"]
-            upd, st = self._apply_stage(pslice, opt_state[key], gp["params"])
+            upd, st = self._apply_stage(
+                pslice, opt_state[key], grads, scale
+            )
             new_params.update(upd)
             new_opt[key] = st
             if ema_params is not None:
@@ -229,72 +454,102 @@ class SegmentedSDTrainStep:
                         ema_params["params"].pop(k, None)
                 opt_state.pop(key, None)
 
-        gp, ct_x = self._vjp_fn("out")(
-            _slice(params, self._names("out")), args_of["out"], ct
-        )
-        apply_stage("out", gp)
+        sq_total = jnp.zeros((), jnp.float32)
 
-        ct_temb = None
-        ct_ctx = None
+        def add_sq(grads):
+            nonlocal sq_total
+            sq_total = self._add(sq_total, self._sq_norm(grads))
 
-        def acc(a, b):
-            return b if a is None else a + b
+        ctx_grad_out = None
+        if self.max_grad_norm is None:
+            # single chain, apply immediately (grad_norm is still reported)
+            def run(key, grads):
+                add_sq(grads)
+                apply_stage(key, grads, ones)
 
-        skip_cts: List[Any] = []  # cotangents for the global skip stack
-        for i in reversed(range(n)):
-            key = f"up:{i}"
-            gp, ct_x, d_temb, d_ctx, d_skips = self._vjp_fn(key)(
-                _slice(params, self._names(key)), args_of[key], ct_x
+            ct_ctx = self._run_backward(
+                params, args_of, noisy, t, ct, down_out_count, run
             )
-            apply_stage(key, gp)
-            ct_temb = acc(ct_temb, d_temb)
-            ct_ctx = acc(ct_ctx, d_ctx)
-            # cons was popped off the stack top, so reversed(d_skips) is in
-            # stack order; processing up stages last-to-first walks the
-            # stack bottom-up — append to rebuild bottom→top order
-            skip_cts = skip_cts + list(reversed(d_skips))
+            ct_ctx_raw = self._mask_ct(ct_ctx, keep)
+            if self.ctx_module is not None:
+                g_ctx = self._ctx_vjp(
+                    _slice(params, self._names("ctx")), labels, ct_ctx_raw
+                )
+                add_sq(g_ctx)
+                apply_stage("ctx", g_ctx, ones)
+            else:
+                ctx_grad_out = ct_ctx_raw
+            grad_norm = jnp.sqrt(sq_total)
+        elif self.clip_mode == "cache":
+            # single chain, cache per-stage grads, scale-then-apply
+            cache: Dict[str, Any] = {}
 
-        gp, ct_x, d_temb, d_ctx = self._vjp_fn("mid")(
-            _slice(params, self._names("mid")), args_of["mid"], ct_x
-        )
-        apply_stage("mid", gp)
-        ct_temb = acc(ct_temb, d_temb)
-        ct_ctx = acc(ct_ctx, d_ctx)
+            def collect(key, grads):
+                add_sq(grads)
+                cache[key] = grads
 
-        for i in reversed(range(n)):
-            key = f"down:{i}"
-            cnt = down_out_count[key]
-            outs_ct = skip_cts[-cnt:]
-            skip_cts = skip_cts[:-cnt]
-            gp, d_x, d_temb, d_ctx = self._vjp_fn(key)(
-                _slice(params, self._names(key)), args_of[key],
-                (ct_x, outs_ct),
+            ct_ctx = self._run_backward(
+                params, args_of, noisy, t, ct, down_out_count, collect
             )
-            apply_stage(key, gp)
-            ct_x = d_x
-            ct_temb = acc(ct_temb, d_temb)
-            ct_ctx = acc(ct_ctx, d_ctx)
+            ct_ctx_raw = self._mask_ct(ct_ctx, keep)
+            if self.ctx_module is not None:
+                g_ctx = self._ctx_vjp(
+                    _slice(params, self._names("ctx")), labels, ct_ctx_raw
+                )
+                add_sq(g_ctx)
+                cache["ctx"] = g_ctx
+            else:
+                ctx_grad_out = ct_ctx_raw
+            scale, grad_norm = self._clip_scale(sq_total)
+            for key in list(cache):
+                apply_stage(key, cache.pop(key), scale)
+        else:  # clip_mode == "recompute"
+            # chain 1: squared norms only (grads dropped immediately)
+            def norm_only(key, grads):
+                add_sq(grads)
 
-        # the single remaining slot is conv_in's output consumed as the
-        # deepest up-stage skip
-        (stem_skip_ct,) = skip_cts
-        ct_x = self._add(ct_x, stem_skip_ct)
-        gp, _d_sample, _d_t = self._vjp_fn("stem")(
-            _slice(params, self._names("stem")), (noisy, t), (ct_x, ct_temb)
-        )
-        apply_stage("stem", gp)
+            ct_ctx1 = self._run_backward(
+                params, args_of, noisy, t, ct, down_out_count, norm_only
+            )
+            ct_ctx1_raw = self._mask_ct(ct_ctx1, keep)
+            if self.ctx_module is not None:
+                add_sq(self._ctx_vjp(
+                    _slice(params, self._names("ctx")), labels, ct_ctx1_raw
+                ))
+            else:
+                ctx_grad_out = ct_ctx1_raw
+            scale, grad_norm = self._clip_scale(sq_total)
+            # chain 2: cotangent pre-scaled → every grad is scale*grad
+            def run(key, grads):
+                apply_stage(key, grads, ones)
+
+            ct_ctx = self._run_backward(
+                params, args_of, noisy, t, self._scale_ct(ct, scale),
+                down_out_count, run,
+            )
+            if self.ctx_module is not None:
+                g_ctx = self._ctx_vjp(
+                    _slice(params, self._names("ctx")), labels,
+                    self._mask_ct(ct_ctx, keep),
+                )
+                apply_stage("ctx", g_ctx, ones)
 
         metrics = {
             "loss": loss,
+            "grad_norm": grad_norm,
             "nonfinite": jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32),
-            # conditioning-sequence gradient; chain it through the class
-            # embedding's pad/projection at the caller to train it
-            "ctx_grad": ct_ctx,
         }
+        if ctx_grad_out is not None:
+            # UNCLIPPED conditioning-sequence gradient (already carries the
+            # CFG-dropout mask); callers chaining an external embedding
+            # should prefer ctx_module= so it shares the global clip
+            metrics["ctx_grad"] = ctx_grad_out
         ema_out = {"params": new_ema} if ema_params is not None else None
         return {"params": new_params}, new_opt, ema_out, metrics
 
     def _names(self, key):
+        if key == "ctx":
+            return ["class_embedding"]
         return self.seg._names(key)
 
     def init_opt_state(self, params):

@@ -24,8 +24,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import math
 import os
+import re
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -129,6 +131,44 @@ class TrainerConfig:
     tracker: str = "jsonl"
 
 
+def build_data(config: TrainerConfig):
+    """Training data plumbing shared by both trainers: per-host shard of
+    the global batch (multi-host: each process loads 1/process_count of
+    every batch — replaces the reference's per-rank DataLoader + DDP).
+
+    Returns ``(index, loader, eval_index)`` where ``eval_index`` is the
+    metrics reference set (full dataset by default, reference behavior)."""
+    loader_cfg = LoaderConfig(
+        batch_size=config.train_batch_size // jax.process_count(),
+        definition=config.definition,
+        random_flip=config.data_aug_on_the_fly,
+        seed=config.seed,
+        prefetch=config.loader_prefetch,
+        num_shards=jax.process_count(),
+        shard_index=jax.process_index(),
+    )
+    if config.dataset_name is not None:
+        from phendiff_tpu.data.hf_datasets import load_hf_dataset
+
+        if config.perc_samples < 100:
+            raise NotImplementedError(
+                "perc_samples subsampling is not supported on the "
+                "HF-datasets route yet; use an imagefolder"
+            )
+        adapter = load_hf_dataset(
+            config.dataset_name, loader_cfg, split=config.split,
+            config_name=config.dataset_config_name,
+            cache_dir=config.cache_dir,
+        )
+        return adapter, adapter, adapter
+    full_index = scan_imagefolder(config.train_data_dir)
+    index = full_index
+    if config.perc_samples < 100:
+        index = balanced_subsample(full_index, config.perc_samples, config.seed)
+    eval_index = full_index if config.compute_metrics_full_dataset else index
+    return index, ImageFolderLoader(index, loader_cfg), eval_index
+
+
 class Trainer:
     def __init__(
         self,
@@ -181,59 +221,27 @@ class Trainer:
         self.save_pipeline_fn = save_pipeline_fn
         self.best_metric = get_initial_best_metric()
 
-        # data — per-host shard of the global batch (multi-host: each
-        # process loads 1/process_count of every batch; shard_batch
-        # assembles the global array — replaces the reference's per-rank
-        # DataLoader + DDP)
-        loader_cfg = LoaderConfig(
-            batch_size=config.train_batch_size // jax.process_count(),
-            definition=config.definition,
-            random_flip=config.data_aug_on_the_fly,
-            seed=config.seed,
-            prefetch=config.loader_prefetch,
-            num_shards=jax.process_count(),
-            shard_index=jax.process_index(),
-        )
-        if config.dataset_name is not None:
-            from phendiff_tpu.data.hf_datasets import load_hf_dataset
-
-            if config.perc_samples < 100:
-                raise NotImplementedError(
-                    "perc_samples subsampling is not supported on the "
-                    "HF-datasets route yet; use an imagefolder"
-                )
-            adapter = load_hf_dataset(
-                config.dataset_name, loader_cfg, split=config.split,
-                config_name=config.dataset_config_name,
-                cache_dir=config.cache_dir,
-            )
-            self.index = adapter
-            self.loader = adapter
-            eval_index = adapter
-        else:
-            full_index = scan_imagefolder(config.train_data_dir)
-            index = full_index
-            if config.perc_samples < 100:
-                index = balanced_subsample(
-                    full_index, config.perc_samples, config.seed
-                )
-            self.index = index
-            self.loader = ImageFolderLoader(index, loader_cfg)
-            eval_index = (
-                full_index if config.compute_metrics_full_dataset else index
-            )
+        self.index, self.loader, eval_index = build_data(config)
         self.evaluator = None
         if config.compute_metrics:
+            def _eval_shard(labels):
+                if labels.shape[0] % self.mesh.devices.size == 0:
+                    return shard_batch(self.mesh, labels)
+                # loud fallback (eval always emits full batches, so this
+                # only fires for hand-built Evaluator calls)
+                logging.getLogger(__name__).warning(
+                    "eval batch %d not divisible by mesh size %d: labels "
+                    "stay unsharded — generation runs on ONE device",
+                    labels.shape[0], self.mesh.devices.size,
+                )
+                return labels
+
             self.evaluator = Evaluator(
                 config.eval,
                 eval_index,
                 config.definition,
                 cache_root=self.paths.fidelity_cache,
-                shard_fn=lambda labels: (
-                    shard_batch(self.mesh, labels)
-                    if labels.shape[0] % self.mesh.devices.size == 0
-                    else labels
-                ),
+                shard_fn=_eval_shard,
             )
 
     # -- resume ------------------------------------------------------------
@@ -330,6 +338,30 @@ class Trainer:
 # Model-family adapters
 # ---------------------------------------------------------------------------
 
+# Attention block modules in BOTH UNet families share this naming scheme
+# (models/unet2d.py SelfAttention2D, models/sd_unet.py Transformer2D): the
+# reference's --attention_fine_tuning re-enables grads on exactly the
+# modules carrying an ``attentions`` attribute (train.py:202-220), i.e.
+# these whole blocks — not just their q/k/v projections.
+_ATTENTION_MODULE_RE = re.compile(r"^(down_\d+_attn_\d+|mid_attn|up_\d+_attn_\d+)$")
+
+
+def attention_param_mask(params):
+    """Bool pytree: True exactly for leaves under attention block modules.
+
+    Matches module names precisely (no substring matching — a param
+    collection whose name merely *contains* "attn" stays frozen)."""
+
+    def walk(tree, in_attn):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, in_attn or bool(_ATTENTION_MODULE_RE.match(k)))
+                for k, v in tree.items()
+            }
+        return in_attn
+
+    return walk(params, False)
+
 
 def for_ddim_pipeline(
     pipe: ConditionalDDIMPipeline, config: TrainerConfig, paths: RunPaths,
@@ -379,18 +411,10 @@ def for_ddim_pipeline(
     trainable_mask = None
     if attention_fine_tuning:
         # Freeze everything except attention blocks (reference
-        # --attention_fine_tuning, train.py:202-220).
-        def _mask(params):
-            def walk(tree, in_attn):
-                if isinstance(tree, dict):
-                    return {
-                        k: walk(v, in_attn or "attn" in k) for k, v in tree.items()
-                    }
-                return in_attn
-
-            return walk(params, False)
-
-        trainable_mask = _mask
+        # --attention_fine_tuning, train.py:202-220); for the DDIM family
+        # the internal class embedding freezes too (it lives inside the
+        # unet the reference calls requires_grad_(False) on).
+        trainable_mask = attention_param_mask
 
     return Trainer(
         config, paths,
@@ -408,10 +432,16 @@ def for_ddim_pipeline(
 def for_sd_pipeline(
     pipe: SDImg2ImgPipeline, config: TrainerConfig, paths: RunPaths,
     components_to_train=("denoiser", "class_embedding"),
+    attention_fine_tuning: bool = False,
     **kw,
 ) -> Trainer:
     """SD fine-tune: UNet + class embedding trained over a FROZEN VAE
-    (reference train path, SURVEY.md §2a 'Training CLI' row)."""
+    (reference train path, SURVEY.md §2a 'Training CLI' row).
+
+    ``attention_fine_tuning`` narrows the trainable UNet leaves to the
+    Transformer2D blocks (reference ``train.py:202-220``: freeze the unet,
+    re-enable its ``attentions``); the class embedding's trainability
+    stays governed by ``components_to_train``."""
     policy = Policy.from_mixed_precision(config.mixed_precision)
     from phendiff_tpu.models.sd_unet import SDUNet
 
@@ -475,6 +505,13 @@ def for_sd_pipeline(
         name: jax.tree.map(lambda _: name in active, sub)
         for name, sub in params.items()
     }
+    if attention_fine_tuning:
+        if "denoiser" not in components_to_train:
+            # same invariant as check_args / reference train.py:206-209
+            raise ValueError(
+                "Attention fine tuning requires 'denoiser' to be trained"
+            )
+        mask["unet"] = attention_param_mask(params["unet"])
 
     return Trainer(
         config, paths,

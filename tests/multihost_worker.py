@@ -113,6 +113,40 @@ def main():
     assert np.isfinite(local).all()
     assert imgs.shape == (8, 16, 16, 3)
 
+    # --- eval end-to-end under process_count > 1 ---------------------------
+    # (VERDICT r2 missing #4): per-process generation of its addressable
+    # share → allgathered features → the full FID + best-model decision on
+    # EVERY process, all identical.  Reference equivalent: rank-sharded
+    # generation funneled to a main-process metric pass
+    # (utils_training.py:712-766).
+    from phendiff_tpu.metrics.fidelity import MetricsConfig
+    from phendiff_tpu.train.eval_loop import (
+        EvalConfig, Evaluator, is_it_best_model,
+    )
+
+    def shard_labels(labels):
+        # the Evaluator hands the GLOBAL label batch; contribute this
+        # process's share to the global array
+        local_share = np.asarray(labels)[: len(labels) // jax.process_count()]
+        return shard_batch(mesh, local_share)
+
+    evaluator = Evaluator(
+        EvalConfig(
+            nb_generated_images=8, eval_batch_size=8, num_inference_steps=2,
+            metrics=MetricsConfig(fid=True, isc=False, kid=False),
+        ),
+        index, (16, 16), shard_fn=shard_labels,
+    )
+    rep_params = jax.device_put(pipe.params, replicated(mesh))
+    gen = jax.jit(
+        lambda p, l, r, n: pipe.generate(l, r, num_inference_steps=n, params=p),
+        static_argnums=3,
+    )
+    eval_metrics = evaluator.evaluate(
+        lambda labels, rng, n: gen(rep_params, labels, rng, n), step=1
+    )
+    best = is_it_best_model(eval_metrics["main_metric_mean"], float("inf"))
+
     with open(args.out, "w") as f:
         json.dump({
             "process_id": args.process_id,
@@ -121,6 +155,8 @@ def main():
             "loss": loss,
             "step": int(state.step),
             "gen_local_shape": list(local.shape),
+            "eval_metrics": {k: float(v) for k, v in eval_metrics.items()},
+            "is_best": bool(best),
         }, f)
     print(f"worker {args.process_id} ok: loss={loss:.5f}")
 

@@ -88,3 +88,90 @@ def test_inception_runs_tiny():
     assert f.shape == (2, 2048)
     assert l.shape == (2, 1008)
     assert np.isfinite(np.asarray(f)).all()
+
+
+# ---------------------------------------------------------------------------
+# Torch-oracle cross-checks (VERDICT r2 weak #3): pin the FID/ISC/KID math
+# to independent torch implementations of the torch-fidelity formulas
+# (reference bar: utils_training.py:975-988) on identical synthetic
+# feature sets.
+# ---------------------------------------------------------------------------
+
+
+def _synthetic_features(n=300, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.standard_normal((n, d)) @ rng.standard_normal((d, d)) * 0.1
+    b = rng.standard_normal((n, d)) @ rng.standard_normal((d, d)) * 0.1 + 0.3
+    return a, b
+
+
+def test_fid_matches_torch_eigenvalue_oracle():
+    """FID via a mathematically DIFFERENT route: tr sqrt(S1 S2) equals the
+    sum of sqrt eigenvalues of S1 @ S2 (computed with torch.linalg),
+    instead of scipy's matrix sqrtm."""
+    import torch
+
+    from phendiff_tpu.metrics.fidelity import compute_statistics, fid_from_features
+
+    real, fake = _synthetic_features()
+    got = fid_from_features(real, fake)
+
+    mu1, s1 = compute_statistics(real)
+    mu2, s2 = compute_statistics(fake)
+    t = lambda x: torch.as_tensor(x, dtype=torch.float64)
+    eig = torch.linalg.eigvals(t(s1) @ t(s2))
+    tr_sqrt = torch.sqrt(torch.clamp(eig.real, min=0)).sum().item()
+    diff = t(mu1 - mu2)
+    want = float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * tr_sqrt)
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_isc_matches_torch_oracle():
+    """ISC against a torch softmax/KL implementation of the
+    torch-fidelity formula, with split-divisible n (200 = 10 x 20)."""
+    import torch
+
+    from phendiff_tpu.metrics.fidelity import isc_from_logits
+
+    rng = np.random.default_rng(1)
+    logits = rng.standard_normal((200, 1008)) * 3.0
+    got = isc_from_logits(logits, splits=10)
+
+    probs = torch.softmax(torch.as_tensor(logits, dtype=torch.float64), dim=1)
+    scores = []
+    for chunk in torch.chunk(probs, 10, dim=0):
+        marginal = chunk.mean(dim=0, keepdim=True)
+        kl = (chunk * ((chunk + 1e-12).log() - (marginal + 1e-12).log())).sum(1)
+        scores.append(kl.mean().exp().item())
+    assert got["inception_score_mean"] == pytest.approx(
+        float(np.mean(scores)), rel=1e-6
+    )
+    assert got["inception_score_std"] == pytest.approx(
+        float(np.std(scores)), rel=1e-5, abs=1e-9
+    )
+
+
+def test_kid_mmd_matches_torch_oracle():
+    """The polynomial-kernel unbiased MMD^2 estimator against a torch
+    implementation (torch-fidelity kernel: (x.y/d + 1)^3; diagonal removed
+    from the within-set terms, full mean for the cross term)."""
+    import torch
+
+    from phendiff_tpu.metrics.fidelity import _polynomial_mmd
+
+    real, fake = _synthetic_features(n=150)
+    got = _polynomial_mmd(real, fake)
+
+    x = torch.as_tensor(real, dtype=torch.float64)
+    y = torch.as_tensor(fake, dtype=torch.float64)
+    d = x.shape[1]
+    kxx = (x @ x.T / d + 1.0) ** 3
+    kyy = (y @ y.T / d + 1.0) ** 3
+    kxy = (x @ y.T / d + 1.0) ** 3
+    m, n = x.shape[0], y.shape[0]
+    want = (
+        (kxx.sum() - kxx.diagonal().sum()) / (m * (m - 1))
+        + (kyy.sum() - kyy.diagonal().sum()) / (n * (n - 1))
+        - 2 * kxy.mean()
+    ).item()
+    assert got == pytest.approx(want, rel=1e-8)

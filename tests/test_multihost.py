@@ -77,3 +77,9 @@ def test_two_process_distributed_train_and_eval(tiny_image_root, tmp_path):
         assert r["gen_local_shape"] == [4, 16, 16, 3]
     # the replicated loss must be identical across hosts (one global step)
     assert results[0]["loss"] == pytest.approx(results[1]["loss"], abs=0)
+    # eval ran END-TO-END on both processes (sharded generation →
+    # allgathered features → FID → best-model) with identical results
+    for r in results:
+        assert r["eval_metrics"]["main_metric_mean"] > 0
+        assert r["is_best"] is True
+    assert results[0]["eval_metrics"] == results[1]["eval_metrics"]

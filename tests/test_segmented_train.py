@@ -42,7 +42,7 @@ def test_segmented_gradient_values_match():
     seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
     step = SegmentedSDTrainStep(seg, SCHED, optax.sgd(1.0))
     rng = jax.random.key(11)
-    noisy, target, weight, t, ctx_used = step._prepare(lat, ctx, rng)
+    noisy, target, weight, t, _keep = step._prepare(lat, rng)
 
     def mono_loss(p, c):
         pred = model.apply(p, noisy, t, c)
@@ -135,6 +135,193 @@ def test_segmented_v_prediction_and_cfg_dropout_and_ema():
     ref_ema = ema_update(ema_cfg, ema0, p, 1)
     for a, b in zip(jax.tree.leaves(ema1), jax.tree.leaves(ref_ema)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_chained_global_norm_optimizer_rejected():
+    """The per-stage application is only exact for per-leaf transforms:
+    passing train_loop.make_optimizer's chain (clip_by_global_norm + adamw)
+    must fail loudly instead of silently clipping per stage."""
+    import pytest
+
+    from phendiff_tpu.train.train_loop import OptimizerConfig, make_optimizer
+
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="max_grad_norm"):
+        SegmentedSDTrainStep(seg, SCHED, make_optimizer(OptimizerConfig()))
+    # a bare chained clip is equally rejected
+    with pytest.raises(ValueError, match="PER-LEAF"):
+        SegmentedSDTrainStep(
+            seg, SCHED,
+            optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3)),
+        )
+
+
+def _clipped_mono_grads(model, params, ctx, noisy, t, target, max_norm):
+    def mono_loss(p):
+        pred = model.apply(p, noisy, t, ctx)
+        return jnp.mean(jnp.square(pred - target))
+
+    grads = jax.grad(mono_loss)(params)
+    clip = optax.clip_by_global_norm(max_norm)
+    clipped, _ = clip.update(grads, clip.init(params))
+    return clipped, optax.global_norm(grads)
+
+
+def test_global_clip_cache_and_recompute_match_monolithic():
+    """max_grad_norm with both clip modes reproduces monolithic
+    jax.grad + optax.clip_by_global_norm leaf-for-leaf (reference
+    utils_training.py:439-449 always clips at 1.0)."""
+    model, params, lat, ctx = _setup()
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+    rng = jax.random.key(11)
+    probe = SegmentedSDTrainStep(seg, SCHED, optax.sgd(1.0))
+    noisy, target, weight, t, _ = probe._prepare(lat, rng)
+
+    # pick a threshold BELOW the actual norm so clipping really triggers
+    _, raw_norm = _clipped_mono_grads(model, params, ctx, noisy, t, target, 1.0)
+    max_norm = float(raw_norm) / 2.0
+    ref_clipped, _ = _clipped_mono_grads(
+        model, params, ctx, noisy, t, target, max_norm
+    )
+
+    for mode in ("cache", "recompute"):
+        step = SegmentedSDTrainStep(
+            seg, SCHED, optax.sgd(1.0),
+            max_grad_norm=max_norm, clip_mode=mode,
+        )
+        opt_state = step.init_opt_state(params)
+        p2, _, _, m = step(params, opt_state, lat, ctx, rng)
+        assert np.isclose(float(m["grad_norm"]), float(raw_norm), rtol=1e-5)
+        seg_grads = jax.tree.map(lambda a, b: a - b, params, p2)
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref_clipped)[0]
+        flat_seg = jax.tree_util.tree_flatten_with_path(seg_grads)[0]
+        assert len(flat_ref) == len(flat_seg)
+        for (path_r, gr), (path_s, gs) in zip(flat_ref, flat_seg):
+            assert path_r == path_s
+            np.testing.assert_allclose(
+                np.asarray(gs), np.asarray(gr), rtol=2e-4, atol=1e-6,
+                err_msg=f"{mode}: {path_r}",
+            )
+
+
+def test_ctx_stage_trains_class_embedding():
+    """With ctx_module=CtxEmbed, the embedding table receives EXACTLY the
+    monolithic gradient chained through pad_to_clip_sequence — the
+    'ctx_grad never chained in product code' gap (reference trains the
+    embedding via the padded sequence, utils_training.py:479-496)."""
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.train.segmented_train import CtxEmbed
+
+    model, params, lat, _ = _setup()
+    ctx_mod = CtxEmbed(num_classes=2, embedding_dim=16, dtype=jnp.float32)
+    labels = jnp.array([0, 1], jnp.int32)
+    ctx_params = ctx_mod.init(jax.random.key(7), labels)
+    full = {"params": dict(params["params"], **ctx_params["params"])}
+
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+    step = SegmentedSDTrainStep(seg, SCHED, optax.sgd(1.0), ctx_module=ctx_mod)
+    rng = jax.random.key(11)
+    noisy, target, weight, t, _ = step._prepare(lat, rng)
+
+    table = ctx_params["params"]["class_embedding"]["embedding"]["embedding"]
+
+    def mono_loss(tbl):
+        ctx = pad_to_clip_sequence(tbl[labels])
+        pred = model.apply(params, noisy, t, ctx)
+        return jnp.mean(jnp.square(pred - target))
+
+    ref_tbl_grad = jax.grad(mono_loss)(table)
+
+    opt_state = step.init_opt_state(full)
+    p2, opt2, _, m = step(full, opt_state, lat, labels, rng)
+    assert "ctx_grad" not in m  # internalized — no dangling cotangent
+    new_tbl = p2["params"]["class_embedding"]["embedding"]["embedding"]
+    got_grad = table - new_tbl  # sgd(1.0)
+    np.testing.assert_allclose(
+        np.asarray(got_grad), np.asarray(ref_tbl_grad), rtol=2e-4, atol=1e-7
+    )
+    assert "ctx" in opt2
+
+
+def test_ctx_stage_cfg_dropout_blocks_embedding_grad():
+    """proba_uncond=1 zeroes the conditioning AND its gradient: a dropped
+    batch must not move the embedding table (the reference's uncond pass
+    never touches it — the find_unused_parameters hack, train.py:59-66)."""
+    from phendiff_tpu.train.segmented_train import CtxEmbed
+
+    _, params, lat, _ = _setup()
+    ctx_mod = CtxEmbed(num_classes=2, embedding_dim=16, dtype=jnp.float32)
+    labels = jnp.array([0, 1], jnp.int32)
+    ctx_params = ctx_mod.init(jax.random.key(7), labels)
+    full = {"params": dict(params["params"], **ctx_params["params"])}
+    table = np.asarray(
+        ctx_params["params"]["class_embedding"]["embedding"]["embedding"]
+    )
+
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+    step = SegmentedSDTrainStep(
+        seg, SCHED, optax.sgd(1.0), proba_uncond=1.0, ctx_module=ctx_mod
+    )
+    opt_state = step.init_opt_state(full)
+    p2, _, _, _ = step(full, opt_state, lat, labels, jax.random.key(3))
+    new_tbl = np.asarray(
+        p2["params"]["class_embedding"]["embedding"]["embedding"]
+    )
+    np.testing.assert_array_equal(new_tbl, table)
+
+
+def test_global_clip_with_ctx_stage_matches_monolithic():
+    """The global norm spans UNet + embedding gradients together, exactly
+    as the reference's clip over all trainable params."""
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.train.segmented_train import CtxEmbed
+
+    model, params, lat, _ = _setup()
+    ctx_mod = CtxEmbed(num_classes=2, embedding_dim=16, dtype=jnp.float32)
+    labels = jnp.array([0, 1], jnp.int32)
+    ctx_params = ctx_mod.init(jax.random.key(7), labels)
+    full = {"params": dict(params["params"], **ctx_params["params"])}
+    rng = jax.random.key(11)
+    probe = SegmentedSDTrainStep(seg := SegmentedSDUNet(CFG, dtype=jnp.float32),
+                                 SCHED, optax.sgd(1.0))
+    noisy, target, weight, t, _ = probe._prepare(lat, rng)
+    table = ctx_params["params"]["class_embedding"]["embedding"]["embedding"]
+
+    def mono_loss(p, tbl):
+        ctx = pad_to_clip_sequence(tbl[labels])
+        pred = model.apply(p, noisy, t, ctx)
+        return jnp.mean(jnp.square(pred - target))
+
+    grads, tbl_grad = jax.grad(mono_loss, argnums=(0, 1))(params, table)
+    joint = {"unet": grads, "tbl": tbl_grad}
+    raw_norm = float(optax.global_norm(joint))
+    max_norm = raw_norm / 2.0
+    clip = optax.clip_by_global_norm(max_norm)
+    clipped, _ = clip.update(joint, clip.init(joint))
+
+    for mode in ("cache", "recompute"):
+        step = SegmentedSDTrainStep(
+            seg, SCHED, optax.sgd(1.0), ctx_module=ctx_mod,
+            max_grad_norm=max_norm, clip_mode=mode,
+        )
+        opt_state = step.init_opt_state(full)
+        p2, _, _, m = step(full, opt_state, lat, labels, rng)
+        assert np.isclose(float(m["grad_norm"]), raw_norm, rtol=1e-5)
+        new_tbl = p2["params"]["class_embedding"]["embedding"]["embedding"]
+        np.testing.assert_allclose(
+            np.asarray(table - new_tbl), np.asarray(clipped["tbl"]),
+            rtol=2e-4, atol=1e-7, err_msg=mode,
+        )
+        # spot-check a UNet leaf too
+        got = (
+            params["params"]["conv_in"]["kernel"]
+            - p2["params"]["conv_in"]["kernel"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got),
+            np.asarray(clipped["unet"]["params"]["conv_in"]["kernel"]),
+            rtol=2e-4, atol=1e-7, err_msg=mode,
+        )
 
 
 def test_unknown_prediction_type_rejected():

@@ -178,6 +178,92 @@ def test_sd_finetune_class_embedding_only(tiny_image_root, paths):
     assert not np.allclose(ce_b, ce_a)  # trained
 
 
+def test_attention_param_mask_exact_leaves():
+    """The mask keys on exact attention-module names (regression for the
+    'attn'-substring brittleness): exactly the attention blocks are
+    trainable; the DDIM-internal class embedding stays frozen."""
+    from phendiff_tpu.train.trainer import attention_param_mask
+
+    cfg = UNet2DConfig(
+        sample_size=8,
+        block_out_channels=(8, 8),
+        down_block_types=("AttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "AttnUpBlock2D"),
+        layers_per_block=1,
+        norm_num_groups=4,
+        num_class_embeds=2,
+        attention_head_dim=4,
+    )
+    pipe = ConditionalDDIMPipeline.init_random(cfg, SCHED, seed=0)
+    mask = attention_param_mask(pipe.params)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    trainable_mods = {p[1].key for p, v in flat if v}
+    frozen_mods = {p[1].key for p, v in flat if not v}
+    # up blocks run layers_per_block+1 resnet(+attn) layers (skip concat)
+    assert trainable_mods == {
+        "down_0_attn_0", "mid_attn", "up_1_attn_0", "up_1_attn_1"
+    }
+    assert "class_embedding" in frozen_mods
+    assert not trainable_mods & frozen_mods
+    # a module whose name merely contains "attn" is NOT matched
+    m2 = attention_param_mask(
+        {"params": {"my_attn_extras": {"w": 0}, "mid_attn": {"w": 0}}}
+    )
+    assert m2["params"]["my_attn_extras"]["w"] is False
+    assert m2["params"]["mid_attn"]["w"] is True
+
+
+def test_sd_attention_fine_tuning_trains_only_attention(tiny_image_root, paths):
+    """One SD run with --attention_fine_tuning: exactly the Transformer2D
+    leaves change; every other UNet leaf and the class embedding are
+    bit-identical (reference train.py:202-220)."""
+    from phendiff_tpu.train.trainer import _ATTENTION_MODULE_RE
+
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    trainer = for_sd_pipeline(
+        pipe, cfg, paths, components_to_train=("denoiser",),
+        attention_fine_tuning=True,
+    )
+    before = {
+        "unet": jax.tree.map(np.asarray, pipe.unet_params),
+        "class_embedding": jax.tree.map(np.asarray, pipe.class_embedding_params),
+    }
+    state = trainer.run()
+    flat_b = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_a = jax.tree_util.tree_flatten_with_path(
+        jax.tree.map(np.asarray, state.params)
+    )[0]
+    assert len(flat_b) == len(flat_a)
+    n_attn = 0
+    for (path_b, b), (path_a, a) in zip(flat_b, flat_a):
+        assert path_b == path_a
+        keys = [getattr(k, "key", "") for k in path_b]
+        in_attn = keys[0] == "unet" and any(
+            _ATTENTION_MODULE_RE.match(str(k)) for k in keys
+        )
+        if in_attn:
+            n_attn += 1
+            assert not np.array_equal(a, b), f"attention leaf frozen: {path_b}"
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=str(path_b))
+    assert n_attn > 0
+
+
+def test_sd_attention_fine_tuning_requires_denoiser(tiny_image_root, paths):
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    with pytest.raises(ValueError, match="denoiser"):
+        for_sd_pipeline(
+            pipe, cfg, paths, components_to_train=("class_embedding",),
+            attention_fine_tuning=True,
+        )
+
+
 def test_eval_generation_compiles_once(tiny_image_root, paths):
     """VERDICT r1 weak #2: repeat eval passes must not re-trace the
     sampling scan — the jitted generate keeps EMA params as a traced
