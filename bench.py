@@ -45,6 +45,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 MODE = os.environ.get("BENCH_MODE", "combined")
+# Lane-packed execution of the narrow-channel levels (r3; exact numerics,
+# tests/test_lane_pack.py).  Default on; set 0 for the r2 baseline.
+LANE_PACK = os.environ.get("BENCH_LANE_PACK", "1") == "1"
 A100_PEAK_FLOPS = 312e12
 A100_ASSUMED_UTILIZATION = 0.40
 # bf16 peak of the attached chip (v5e-lite), for MFU reporting (progress
@@ -68,7 +71,7 @@ def bench_train():
 
     cfg = C.super_small().replace(sample_size=RES)
     remat = os.environ.get("BENCH_REMAT", "0") == "1"
-    model = CondUNet2D(cfg, dtype=jnp.bfloat16, remat=remat)
+    model = CondUNet2D(cfg, dtype=jnp.bfloat16, remat=remat, lane_pack=LANE_PACK)
     x = jnp.zeros((1, RES, RES, 3))
     params = model.init(
         jax.random.key(0), x, jnp.array([0]), class_labels=jnp.array([0])
@@ -123,7 +126,7 @@ def bench_transfer():
 
     dev = jax.devices()[0]
     cfg = C.super_small().replace(sample_size=RES)
-    model = CondUNet2D(cfg, dtype=jnp.bfloat16)
+    model = CondUNet2D(cfg, dtype=jnp.bfloat16, lane_pack=LANE_PACK)
     x = jnp.zeros((BATCH, RES, RES, 3), dtype=jnp.float32)
     params = model.init(
         jax.random.key(0), x[:1], jnp.array([0]), class_labels=jnp.array([0])

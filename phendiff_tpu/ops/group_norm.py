@@ -44,6 +44,8 @@ def group_norm(
     bias: Optional[Array] = None,
     act: Optional[str] = None,
     out_dtype=None,
+    packed: int = 1,
+    slot_channels=None,
 ) -> Array:
     """GroupNorm over an NHWC tensor, optionally fused with an activation.
 
@@ -51,11 +53,58 @@ def group_norm(
     selects the storage dtype of the result (pass the model's compute dtype
     so the fused kernel writes bf16 directly — an f32 output plus a
     separate cast pass would double the HBM traffic).  Default: float32.
+
+    ``packed > 1``: ``x`` is a lane-packed tensor (ops/lane_pack.py) whose
+    minor dim holds ``packed`` pixels' true channels; ``slot_channels``
+    maps each packed slot to its TRUE channel index (defaults to the
+    single-source parity-major layout).  Statistics are computed per SLOT
+    in the same fused spatial reduction as the unpacked path, then
+    combined per true-channel group — identical math, no relayout, and
+    groups may span concat-source boundaries.  ``scale``/``bias`` stay
+    per-TRUE-channel.
     """
-    b, h, w, c = x.shape
-    if c % num_groups:
-        raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
+    b, h, w, cs = x.shape
+    c = cs // packed
+    if cs % packed or c % num_groups:
+        raise ValueError(
+            f"channels {cs} not divisible by packed={packed} x groups {num_groups}"
+        )
     out_dtype = out_dtype or jnp.float32
+    if packed > 1:
+        import numpy as np
+
+        if slot_channels is None:
+            slot_channels = np.tile(np.arange(c), packed)  # parity-major
+        slot_channels = np.asarray(slot_channels)
+        grp = slot_channels // (c // num_groups)  # static: slot → group
+        # slot↔group membership as a constant 0/1 matrix: matmuls instead
+        # of segment_sum/gather (TPU scatters are slow in scan bodies)
+        memb = jnp.asarray(
+            (grp[:, None] == np.arange(num_groups)[None, :]), jnp.float32
+        )
+        xf = x.astype(jnp.float32)
+        # per-slot sums fuse into the producer exactly like the unpacked
+        # one-pass moments; the group combine below is O(b x slots)
+        ssum = jnp.sum(xf, axis=(1, 2))  # [b, S]
+        ssq = jnp.sum(jnp.square(xf), axis=(1, 2))  # [b, S]
+        gsum = ssum @ memb
+        gsq = ssq @ memb
+        n = h * w * packed * (c // num_groups)
+        mean = gsum / n
+        var = jnp.maximum(gsq / n - jnp.square(mean), 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        mean_slot = (mean @ memb.T)[:, None, None, :]
+        rstd_slot = (rstd @ memb.T)[:, None, None, :]
+        xf = (xf - mean_slot) * rstd_slot
+        if scale is not None:
+            xf = xf * scale.astype(jnp.float32)[slot_channels]
+        if bias is not None:
+            xf = xf + bias.astype(jnp.float32)[slot_channels]
+        if act == "silu":
+            xf = jax.nn.silu(xf)
+        elif act is not None:
+            raise ValueError(f"unknown activation: {act}")
+        return xf.astype(out_dtype)
 
     # Default is the XLA chain: measured on v5e, the fused Pallas kernel is
     # ~2.6% slower end to end (XLA's 3-pass fused program is already near

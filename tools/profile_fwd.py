@@ -30,7 +30,10 @@ OUTDIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/phendiff_trace"
 
 def main():
     cfg = C.super_small().replace(sample_size=RES)
-    model = CondUNet2D(cfg, dtype=jnp.bfloat16)
+    model = CondUNet2D(
+        cfg, dtype=jnp.bfloat16,
+        lane_pack=os.environ.get("BENCH_LANE_PACK", "0") == "1",
+    )
     x = jax.random.normal(jax.random.key(0), (BATCH, RES, RES, 3))
     t = jnp.zeros((BATCH,), dtype=jnp.int32)
     labels = jnp.zeros((BATCH,), dtype=jnp.int32)
@@ -46,37 +49,50 @@ def main():
         out.block_until_ready()
     print("trace written to", OUTDIR)
 
-    # -- parse the xplane protobuf ---------------------------------------
-    paths = sorted(glob.glob(os.path.join(OUTDIR, "**", "*.xplane.pb"),
+    # -- parse the trace JSON --------------------------------------------
+    paths = sorted(glob.glob(os.path.join(OUTDIR, "**", "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
-        print("no xplane.pb found")
+        print("no trace.json.gz found")
         return
     parse(paths[-1])
 
 
-def parse(path):
-    from tensorflow.core.profiler.protobuf import xplane_pb2  # type: ignore
+def parse(path, iters=3, top=45):
+    import collections
+    import gzip
+    import json
 
-    xs = xplane_pb2.XSpace()
-    with open(path, "rb") as fh:
-        xs.ParseFromString(fh.read())
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "Device" not in plane.name:
+    with gzip.open(path) as fh:
+        data = json.load(fh)
+    evs = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in evs
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    dev_pids = {p for p, n in pids.items() if "TPU" in n or "Device" in n}
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    cat = collections.Counter()
+    args_of = {}
+    for e in evs:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        totals = {}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "Steps" not in line.name:
-                pass
-            for ev in line.events:
-                name = plane.event_metadata[ev.metadata_id].name
-                totals.setdefault((line.name, name), [0, 0])
-                totals[(line.name, name)][0] += ev.duration_ps / 1e9  # ms
-                totals[(line.name, name)][1] += 1
-        rows = sorted(totals.items(), key=lambda kv: -kv[1][0])
-        print(f"== plane: {plane.name}")
-        for (lname, name), (ms, n) in rows[:60]:
-            print(f"{ms/3:9.3f} ms  x{n:4d}  [{lname}] {name[:110]}")
+        name = e["name"]
+        if name.startswith("jit_"):
+            continue  # whole-module envelope double-counts the ops
+        tot[name] += e.get("dur", 0)
+        cnt[name] += 1
+        args_of.setdefault(name, e.get("args", {}))
+        cat[args_of[name].get("hlo_category", "?")] += e.get("dur", 0)
+    total = sum(tot.values())
+    print(f"total device op time: {total/1e3/iters:.2f} ms per iter")
+    for name, us in cat.most_common(12):
+        print(f"  category {us/1e3/iters:8.3f} ms  {name}")
+    for name, us in tot.most_common(top):
+        ln = args_of[name].get("long_name", "")[:90]
+        print(f"{us/1e3/iters:9.3f} ms x{cnt[name]:4d}  {name[:40]:40s} {ln}")
 
 
 if __name__ == "__main__":
