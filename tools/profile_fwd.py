@@ -58,7 +58,11 @@ def main():
     parse(paths[-1])
 
 
-def parse(path, iters=3, top=45):
+def parse(path, iters=3, top=45, peak_tflops=197.0):
+    """Aggregate per-op device time; attribute each op's achieved
+    TFLOP/s (vs bf16 peak) and effective HBM GB/s from the trace's
+    model_flops / bytes_accessed so the table doubles as a roofline
+    audit (docs/BENCHMARKS.md r3)."""
     import collections
     import gzip
     import json
@@ -75,6 +79,7 @@ def parse(path, iters=3, top=45):
     tot = collections.Counter()
     cnt = collections.Counter()
     cat = collections.Counter()
+    catf = collections.Counter()
     args_of = {}
     for e in evs:
         if e.get("ph") != "X" or e.get("pid") not in dev_pids:
@@ -85,14 +90,32 @@ def parse(path, iters=3, top=45):
         tot[name] += e.get("dur", 0)
         cnt[name] += 1
         args_of.setdefault(name, e.get("args", {}))
-        cat[args_of[name].get("hlo_category", "?")] += e.get("dur", 0)
+        c = args_of[name].get("hlo_category", "?")
+        cat[c] += e.get("dur", 0)
+        catf[c] += int(args_of[name].get("model_flops", 0) or 0)
     total = sum(tot.values())
-    print(f"total device op time: {total/1e3/iters:.2f} ms per iter")
+    tflops = sum(catf.values()) / iters
+    print(f"total device op time: {total/1e3/iters:.2f} ms per iter; "
+          f"model flops {tflops/1e9:.1f} GFLOP "
+          f"({tflops/(total/iters*1e-6)/1e12:.1f} TFLOP/s, "
+          f"MFU {tflops/(total/iters*1e-6)/(peak_tflops*1e12):.3f})")
     for name, us in cat.most_common(12):
-        print(f"  category {us/1e3/iters:8.3f} ms  {name}")
+        fl = catf[name]
+        eff = fl / (us * 1e-6) / 1e12 if us else 0.0
+        print(f"  category {us/1e3/iters:8.3f} ms  {eff:6.1f} TFLOP/s "
+              f"(MFU {eff/peak_tflops:5.2f})  {name}")
+    hdr = f"{'ms':>9} {'n':>4} {'TFLOP/s':>8} {'GB/s':>6}  name / source"
+    print(hdr)
     for name, us in tot.most_common(top):
-        ln = args_of[name].get("long_name", "")[:90]
-        print(f"{us/1e3/iters:9.3f} ms x{cnt[name]:4d}  {name[:40]:40s} {ln}")
+        a = args_of[name]
+        fl = int(a.get("model_flops", 0) or 0) * cnt[name]
+        by = int(a.get("bytes_accessed", 0) or 0) * cnt[name]
+        eff = fl / (us * 1e-6) / 1e12 if us else 0.0
+        gbs = by / (us * 1e-6) / 1e9 if us else 0.0
+        src = a.get("source", "")
+        src = src.replace("/root/repo/tools/../", "")
+        print(f"{us/1e3/iters:9.3f} x{cnt[name]:3d} {eff:8.1f} {gbs:6.0f}  "
+              f"{name[:36]:36s} {src[-48:]}")
 
 
 if __name__ == "__main__":
