@@ -248,13 +248,18 @@ class SegmentedSDTrainStep:
         # Per-stage optimizer application: per-leaf transforms make this
         # EXACT while keeping only one stage's gradients live.  ``scale``
         # is the global clip factor (1.0 when no clipping applies).
-        @jax.jit
         def _apply_stage(pslice, opt_state, grads, scale):
             grads = jax.tree.map(lambda g: g * scale.astype(g.dtype), grads)
             updates, opt_state = optimizer.update(grads, opt_state, pslice)
             return optax.apply_updates(pslice, updates), opt_state
 
-        self._apply_stage = _apply_stage
+        self._apply_stage = jax.jit(_apply_stage)
+        # donating variant for donate=True calls: old params / moments /
+        # grads hand their HBM buffers to the new values, so a stage's
+        # transient footprint is ~1x its size instead of ~6x — at full
+        # width the non-donating apply OOMs a 16 GB chip once the trainer's
+        # VAE/eval residents are also live (r3 hardware run)
+        self._apply_stage_d = jax.jit(_apply_stage, donate_argnums=(0, 1, 2))
 
         # squared-norm reduction of one stage's gradient slice (f32, as
         # optax.global_norm computes it)
@@ -277,11 +282,13 @@ class SegmentedSDTrainStep:
         self._scale_ct = jax.jit(lambda ct, s: ct * s.astype(ct.dtype))
 
         if ema is not None:
-            @jax.jit
             def _ema_stage(eslice, pslice, step):
                 return ema_update(ema, eslice, pslice, step)
 
-            self._ema_stage = _ema_stage
+            self._ema_stage = jax.jit(_ema_stage)
+            # donate only the old EMA slice — pslice is the fresh update
+            # that stays live in new_params
+            self._ema_stage_d = jax.jit(_ema_stage, donate_argnums=(0,))
         self._add = jax.jit(lambda a, b: a + b)
 
         if ctx_module is not None:
@@ -439,14 +446,20 @@ class SegmentedSDTrainStep:
         def apply_stage(key, grads, scale):
             names = self._names(key)
             pslice = _slice(params, names)["params"]
-            upd, st = self._apply_stage(
-                pslice, opt_state[key], grads, scale
-            )
+            # donate=True uses the buffer-donating jits: each stage's old
+            # params/moments/EMA and its grads hand their HBM to the new
+            # values, capping the transient at ~1x stage size (full width
+            # OOMs otherwise once the trainer's VAE/eval residents are
+            # live).  Safe: a stage's params/EMA are last READ by its own
+            # VJP, which runs before on_stage fires.
+            apply_fn = self._apply_stage_d if donate else self._apply_stage
+            upd, st = apply_fn(pslice, opt_state[key], grads, scale)
             new_params.update(upd)
             new_opt[key] = st
             if ema_params is not None:
                 eslice = {k: ema_params["params"][k] for k in upd}
-                new_ema.update(self._ema_stage(eslice, upd, step + 1))
+                ema_fn = self._ema_stage_d if donate else self._ema_stage
+                new_ema.update(ema_fn(eslice, upd, step + 1))
             if donate:
                 for k in list(pslice):
                     params["params"].pop(k, None)

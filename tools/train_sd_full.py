@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--resume_extra", type=int, default=10)
     ap.add_argument("--workdir", default="/tmp/phendiff_sd_full")
     ap.add_argument("--clip_mode", default="recompute")
+    ap.add_argument(
+        "--resume_only", action="store_true",
+        help="skip the initial run; restore 'latest' and continue "
+        "resume_extra steps (for rerunning an interrupted resume phase)",
+    )
     args = ap.parse_args()
 
     from phendiff_tpu.core import SchedulerConfig
@@ -77,10 +82,16 @@ def main():
     from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
 
     seg = SegmentedSDUNet(unet_cfg, dtype=jnp.bfloat16)
-    unet_params = seg.init(
-        jax.random.key(0), jnp.zeros((1, lat, lat, 4)),
-        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
-    )
+    if args.resume_only:
+        # the trainer restores everything from ABSTRACT shapes on resume —
+        # materializing 866M throwaway params here would waste minutes and
+        # half the chip's HBM
+        unet_params = None
+    else:
+        unet_params = seg.init(
+            jax.random.key(0), jnp.zeros((1, lat, lat, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+        )
     vae = AutoencoderKL(vae_cfg, dtype=jnp.bfloat16)
     vae_params = jax.jit(vae.init)(
         jax.random.key(1), jnp.zeros((1, args.res, args.res, 3))
@@ -118,37 +129,51 @@ def main():
         ),
         tracker="jsonl",
     )
-    trainer = SegmentedSDTrainer(
-        pipe, config, paths, clip_mode=args.clip_mode, seg=seg,
-        copy_params=False,  # a second 3.5 GB param tree won't fit on 16 GB
-    )
-    # drop every other reference to the adopted param buffers so donation
-    # actually frees them (the pipeline object stays config+VAE-only)
-    pipe.unet_params = None
-    pipe.class_embedding_params = None
-    del unet_params, ce_params
-    print(f"# steps/epoch={len(trainer.loader)}; training {args.steps} steps "
-          f"@ {args.res}px batch {args.batch} clip_mode={args.clip_mode}",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    trainer.run()
-    dt = time.perf_counter() - t0
+    if not args.resume_only:
+        trainer = SegmentedSDTrainer(
+            pipe, config, paths, clip_mode=args.clip_mode, seg=seg,
+            copy_params=False,  # a second 3.5 GB param tree won't fit on 16 GB
+        )
+        # drop every other reference to the adopted param buffers so donation
+        # actually frees them (the pipeline object stays config+VAE-only)
+        pipe.unet_params = None
+        pipe.class_embedding_params = None
+        del unet_params, ce_params
+        print(f"# steps/epoch={len(trainer.loader)}; training {args.steps} "
+              f"steps @ {args.res}px batch {args.batch} "
+              f"clip_mode={args.clip_mode}", file=sys.stderr)
+        t0 = time.perf_counter()
+        trainer.run()
+        dt = time.perf_counter() - t0
+        # free the first trainer's 13.8 GB state before the restore allocates
+        # its own (resume restores from ABSTRACT shapes — no throwaway init)
+        del trainer
+        import gc
+
+        gc.collect()
+    else:
+        # the phase-1 run already happened in a prior process; the throwaway
+        # init above only provided shapes for the restore.  Free it.
+        pipe.unet_params = None
+        pipe.class_embedding_params = None
+        del unet_params, ce_params
+        import gc
+
+        gc.collect()
+        dt = None
 
     with open(os.path.join(paths.run_dir, "metrics.jsonl")) as f:
         recs = [json.loads(l) for l in f if "loss" in l]
+    recs = [r for r in recs if r.get("step", 0) <= args.steps]
     losses = [r["loss"] for r in recs if "loss" in r]
+    if dt is None:  # reconstruct phase-1 wall time from the logged step times
+        dt = len(losses) * recs[-1]["perf/step_time_s"]
     first5, last5 = float(np.mean(losses[:5])), float(np.mean(losses[-5:]))
     print(f"# {len(losses)} steps in {dt:.1f}s; loss {losses[0]:.4f} -> "
           f"{losses[-1]:.4f} (first5 {first5:.4f} vs last5 {last5:.4f})",
           file=sys.stderr)
 
     # ---- exact resume: continue for resume_extra steps --------------------
-    # free the first trainer's 13.8 GB state before the restore allocates
-    # its own (resume restores from ABSTRACT shapes — no throwaway init)
-    del trainer
-    import gc
-
-    gc.collect()
     config2 = type(config)(**{**config.__dict__,
                               "max_train_steps": args.steps + args.resume_extra,
                               "resume_from_checkpoint": "latest",
@@ -160,6 +185,11 @@ def main():
     trainer2.run()
     print(f"# resume: continued to step {trainer2.global_step} "
           f"in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    if not (os.path.isdir(paths.full_pipeline_save)
+            and os.listdir(paths.full_pipeline_save)):
+        print("# saving EMA pipeline for downstream comparison runs...",
+              file=sys.stderr)
+        trainer2.save_pipeline(paths.full_pipeline_save)
 
     panel_dirs = sorted((paths.run_dir + "/images/" + d)
                         for d in os.listdir(os.path.join(paths.run_dir, "images")))
