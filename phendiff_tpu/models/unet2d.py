@@ -270,13 +270,27 @@ class Downsample2D(nn.Module):
 
 
 class Upsample2D(nn.Module):
+    """2x nearest upsample + 3x3 conv.  ``packed_out=True`` consumes the
+    UNPACKED input and emits a lane-PACKED map directly (same params, same
+    math): the conv runs over the original W grid with a parity-expanded
+    kernel, which removes both of the biggest relayouts in the up path —
+    the 2x2 broadcast materialization halves (rows only) and the
+    ``upsample → pack`` copy disappears (ops/lane_pack.py r3 audit)."""
+
     channels: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
+        if self.packed_out:
+            k, bia = Conv2DParams(
+                self.channels, c, (3, 3),
+                param_dtype=self.param_dtype, name="conv",
+            )()
+            return lane_pack.packed_upsample_conv(x, k, bia, dtype=self.dtype)
         # 2x nearest upsample as reshape+broadcast: jax.image.resize lowers
         # to a gather/while-loop on TPU (profiled at ~1.9 ms/forward on the
         # flagship); the broadcast form is a pure copy XLA fuses away.
@@ -483,11 +497,14 @@ class CondUNet2D(nn.Module):
                     x = AttnBlk(**attn_args(pk, f"up_{i}_attn_{j}"))(x)
             if i < len(cfg.up_block_types) - 1:
                 x = to_packing(x, x_pk, False)
-                x_pk = False
+                # emit packed directly when the next (finer) level runs
+                # packed — see Upsample2D.packed_out
+                nxt = packed_lv[n_levels - 2 - i]
                 x = Upsample2D(
                     c_out, dtype=self.dtype, param_dtype=self.param_dtype,
-                    name=f"up_{i}_upsample",
+                    packed_out=nxt, name=f"up_{i}_upsample",
                 )(x)
+                x_pk = nxt
         assert not skips, f"{len(skips)} unconsumed skip connections"
 
         # --- out ------------------------------------------------------------

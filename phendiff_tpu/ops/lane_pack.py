@@ -137,6 +137,49 @@ def pack_downsample_kernel(w: Array) -> Array:
     return jnp.stack([t0, t1], axis=1)
 
 
+def pack_upsample_kernel(w: Array) -> Array:
+    """[3, 3, Cin, Cout] conv applied after a 2x nearest upsample →
+    [3, 3, Cin, P*Cout] kernel applied to the H-duplicated (but NOT
+    W-upsampled) input, emitting a W-PACKED output directly.
+
+    Nearest W-upsample means output pixel ``2w+po`` reads original pixels
+    {w-1, w} (po=0: taps k0 | k1+k2) or {w, w+1} (po=1: taps k0+k1 | k2),
+    so both output parities fit one width-3 conv over the ORIGINAL cell
+    grid — same MAC count as the true post-upsample conv, full output
+    lanes, and the ``upsample → pack`` relayout disappears.  Output
+    channels are parity-major ([p0-block, p1-block]), matching the packed
+    channel order of ``pack``/``_slot_map``.  The vertical upsample stays
+    a row duplication of the input (half the copy bytes of the full 2x2
+    nearest materialization)."""
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    z = jnp.zeros((kh, cin, cout), w.dtype)
+    t0 = jnp.concatenate([w[:, 0], z], axis=-1)
+    t1 = jnp.concatenate([w[:, 1] + w[:, 2], w[:, 0] + w[:, 1]], axis=-1)
+    t2 = jnp.concatenate([z, w[:, 2]], axis=-1)
+    return jnp.stack([t0, t1, t2], axis=1)
+
+
+def packed_upsample_conv(
+    x: Array, w: Array, bias: Optional[Array], dtype=None
+) -> Array:
+    """2x nearest upsample + 3x3 SAME conv from canonical weights:
+    UNPACKED [B, H, W, Cin] input → PACKED [B, 2H, W, P*Cout] output."""
+    dtype = dtype or x.dtype
+    b, h, w_, c = x.shape
+    u = jnp.broadcast_to(x[:, :, None], (b, h, P, w_, c)).reshape(
+        b, h * P, w_, c
+    )
+    wp = pack_upsample_kernel(w).astype(dtype)
+    dn = jax.lax.conv_dimension_numbers(u.shape, wp.shape, _DN)
+    out = jax.lax.conv_general_dilated(
+        u.astype(dtype), wp, (1, 1), "SAME", dimension_numbers=dn
+    )
+    if bias is not None:
+        out = out + tile_channel_param(bias).astype(dtype)
+    return out
+
+
 def tile_channel_param(v: Optional[Array]) -> Optional[Array]:
     """Per-true-channel vector → per-packed-slot vector (parity-major)."""
     if v is None:

@@ -59,6 +59,24 @@ def test_packed_downsample_matches():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_packed_upsample_conv_matches():
+    """Packed-output upsample conv == 2x nearest upsample + true 3x3 conv,
+    viewed through pack() (only rounding differs: the parity kernel
+    pre-adds the taps that hit a duplicated pixel)."""
+    x = jax.random.normal(jax.random.key(0), (2, 4, 6, 5))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 5, 7)) * 0.3
+    b = jax.random.normal(jax.random.key(2), (7,))
+    bb, h, ww, c = x.shape
+    u = jnp.broadcast_to(
+        x[:, :, None, :, None, :], (bb, h, 2, ww, 2, c)
+    ).reshape(bb, h * 2, ww * 2, c)
+    dn = jax.lax.conv_dimension_numbers(u.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(u, w, (1, 1), "SAME", dimension_numbers=dn) + b
+    got = lane_pack.unpack(lane_pack.packed_upsample_conv(x, w, b))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_packed_group_norm_with_spanning_groups():
     """Groups that span a concat-source boundary (the flagship's 192-ch
     up-block norm with 32 groups) must match the unpacked statistics."""
