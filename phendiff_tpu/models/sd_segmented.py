@@ -225,18 +225,18 @@ class SegmentedSDUNet:
     def init(self, rng, sample, timesteps, encoder_hidden_states):
         """Stage-by-stage init (each init is its own small program — the
         monolithic ``SDUNet.init`` is a full-model HLO and hits the same
-        transport limit as the forward).  Weight distributions match the
-        monolithic init; the per-parameter random streams differ (Flax
-        folds rng by module path, and the paths here are stage-rooted)."""
+        transport limit as the forward).  BIT-IDENTICAL to the monolithic
+        init seed-for-seed: Flax folds the params rng by module *path*,
+        and every stage's children carry exactly the monolith's root-level
+        names — so passing the same root rng to each stage reproduces the
+        monolith's per-parameter streams (tests/test_sd_segmented.py::
+        test_segmented_init_matches_monolithic)."""
         cfg = self.cfg
         merged: Dict[str, Any] = {}
 
         def take(key, mod, *args):
             nonlocal merged
-            import zlib
-
-            r = jax.random.fold_in(rng, zlib.crc32(key.encode()))
-            out, variables = mod.init_with_output(r, *args)
+            out, variables = mod.init_with_output(rng, *args)
             merged.update(variables["params"])
             return out
 

@@ -33,6 +33,7 @@ builder that map, so skip-concat convs need no relayout.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -42,6 +43,15 @@ import numpy as np
 Array = jax.Array
 
 P = 2  # pack factor (two pixels per lane group); fixed
+
+
+def default_enabled() -> bool:
+    """Product-wide default for lane-packed execution (pipelines, trainer,
+    graft entry).  On: exact numerics, measured +16% end-to-end on the
+    flagship (docs/BENCHMARKS.md r3).  ``PHENDIFF_LANE_PACK=0`` disables
+    globally; per-level applicability (channel width, even W) is still
+    decided inside the model."""
+    return os.environ.get("PHENDIFF_LANE_PACK", "1") == "1"
 
 
 def pack(x: Array) -> Array:

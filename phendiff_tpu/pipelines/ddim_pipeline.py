@@ -23,6 +23,7 @@ import numpy as np
 from phendiff_tpu.core import scheduler as S
 from phendiff_tpu.models.config import UNet2DConfig
 from phendiff_tpu.models.unet2d import CondUNet2D
+from phendiff_tpu.ops import lane_pack as _lane_pack
 from phendiff_tpu.pipelines import conditional_ddim as sampler
 from phendiff_tpu.pipelines import io
 
@@ -35,9 +36,17 @@ class ConditionalDDIMPipeline:
     scheduler_config: S.SchedulerConfig
     params: dict  # flax variables {"params": ...}
     dtype: jnp.dtype = jnp.float32
+    # Lane-packed execution of narrow-channel levels (ops/lane_pack.py):
+    # identical params/checkpoints, exact numerics, +16% on the flagship.
+    # None → ops.lane_pack.default_enabled() (env PHENDIFF_LANE_PACK).
+    lane_pack: Optional[bool] = None
 
     def __post_init__(self):
-        self._model = CondUNet2D(self.unet_config, dtype=self.dtype)
+        if self.lane_pack is None:
+            self.lane_pack = _lane_pack.default_enabled()
+        self._model = CondUNet2D(
+            self.unet_config, dtype=self.dtype, lane_pack=self.lane_pack
+        )
         self._schedule = S.make_schedule(self.scheduler_config)
 
     # -- construction -----------------------------------------------------
@@ -184,5 +193,6 @@ class ConditionalDDIMPipeline:
 
     def replace_params(self, params) -> "ConditionalDDIMPipeline":
         return ConditionalDDIMPipeline(
-            self.unet_config, self.scheduler_config, params, dtype=self.dtype
+            self.unet_config, self.scheduler_config, params,
+            dtype=self.dtype, lane_pack=self.lane_pack,
         )

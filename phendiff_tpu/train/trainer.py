@@ -372,7 +372,8 @@ def for_ddim_pipeline(
     from phendiff_tpu.models.unet2d import CondUNet2D
 
     model = CondUNet2D(
-        pipe.unet_config, dtype=policy.compute_jnp, remat=config.remat
+        pipe.unet_config, dtype=policy.compute_jnp, remat=config.remat,
+        lane_pack=pipe.lane_pack,
     )
 
     def model_apply(params, x, t, class_emb):

@@ -37,6 +37,28 @@ def test_segmented_matches_monolithic():
     )
 
 
+def test_segmented_init_matches_monolithic():
+    """Seed-for-seed reproducibility across execution paths: the
+    stage-by-stage init must produce the SAME parameter values as the
+    monolithic ``SDUNet.init`` (Flax folds the params rng by module path;
+    stage children carry the monolith's root-level names)."""
+    model = SDUNet(CFG, dtype=jnp.float32)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 77, 16))
+    mono = model.init(jax.random.key(7), x, t, ctx)
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32).init(
+        jax.random.key(7), x, t, ctx
+    )
+    flat_m = jax.tree_util.tree_flatten_with_path(mono)[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(seg)[0]
+    assert [p for p, _ in flat_m] == [p for p, _ in flat_s]
+    for (path, a), (_, b) in zip(flat_m, flat_s):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=str(path)
+        )
+
+
 def test_segmented_missing_params_fail_loudly():
     seg = SegmentedSDUNet(CFG)
     x = jnp.zeros((1, 8, 8, 4))
