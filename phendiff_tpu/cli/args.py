@@ -129,6 +129,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("no", "fp16", "bf16"))
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet blocks in backward (memory vs speed)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="shard params over a model mesh axis of this size "
+                        "(TPU-native extension; the reference is DDP-only). "
+                        "devices are split (data, model)")
     # diffusion
     p.add_argument("--prediction_type", type=str, default=None,
                    choices=PREDICTION_TYPES)
@@ -288,6 +292,19 @@ def check_args(args) -> List[str]:
             "--eval_save_model_every_opti_steps must be set (the reference "
             "asserts the same; --debug sets a cadence automatically)"
         )
+
+    # tensor parallelism
+    if args.model_parallel < 1:
+        raise ValueError("--model_parallel must be >= 1")
+    if args.model_parallel > 1:
+        import jax  # deferred: check_args must stay importable without a backend
+
+        n = jax.device_count()
+        if n % args.model_parallel:
+            raise ValueError(
+                f"--model_parallel {args.model_parallel} does not divide "
+                f"the {n} available devices"
+            )
 
     # metric selection consistency
     if args.main_metric == "isc" and not args.compute_isc:

@@ -73,6 +73,7 @@ def trainer_config_from_args(args) -> TrainerConfig:
         resume_from_checkpoint=args.resume_from_checkpoint,
         mixed_precision=args.mixed_precision,
         remat=args.remat,
+        model_parallel=args.model_parallel,
         compute_metrics=args.compute_fid or args.compute_isc or args.compute_kid,
         train=TrainConfig(
             proba_uncond=args.proba_uncond,
@@ -145,6 +146,12 @@ def main(argv=None):
                 raise NotImplementedError(
                     "--attention_fine_tuning is not supported on the "
                     "segmented route yet; use --segmented_sd off"
+                )
+            if args.model_parallel > 1:
+                raise NotImplementedError(
+                    "--model_parallel > 1 is not supported on the segmented "
+                    "route (per-stage single-chip programs); use "
+                    "--segmented_sd off for the monolithic TP path"
                 )
             from phendiff_tpu.train.segmented_trainer import SegmentedSDTrainer
 

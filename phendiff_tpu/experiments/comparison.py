@@ -82,6 +82,11 @@ class ComparisonConfig:
     # when the UNet is too large for a monolithic program on constrained
     # compile transports (the full-width SD-2.1 case, docs/BENCHMARKS.md).
     segmented_sd: Optional[bool] = None
+    # On the segmented route, spread the stage programs over all local
+    # devices as a pipeline (parallel/pp.py) instead of running them on
+    # one chip — a full-width UNet whose params exceed one chip's HBM
+    # runs across the slice.  Ignored on the jitted (monolithic) route.
+    pipeline_parallel: bool = False
 
     @classmethod
     def from_yaml(cls, path: str) -> "ComparisonConfig":
@@ -106,7 +111,8 @@ _SEGMENTED_AUTO_PARAMS = 200_000_000
 
 
 def _make_segmented_transfer_fn(
-    pipe: SDImg2ImgPipeline, method: str, params: MethodParams, steps: int
+    pipe: SDImg2ImgPipeline, method: str, params: MethodParams, steps: int,
+    pipeline_parallel: bool = False,
 ):
     """Full-width SD route: VAE encode → host-driven stepwise transfer over
     the segmented stage programs → VAE decode.  Matches the reference's
@@ -123,12 +129,21 @@ def _make_segmented_transfer_fn(
         ddim_sample_stepwise,
     )
 
-    seg = SegmentedSDUNet(pipe.unet_config, dtype=pipe.dtype)
-    unet_params = pipe.unet_params
     schedule = pipe.schedule
+    if pipeline_parallel and len(jax.devices()) > 1:
+        from phendiff_tpu.parallel.pp import PipelinedSDUNet
 
-    def denoiser(x, t, emb):
-        return seg(unet_params, x, t, emb)
+        pp = PipelinedSDUNet(pipe.unet_config, dtype=pipe.dtype)
+        placed = pp.place_params(pipe.unet_params)
+
+        def denoiser(x, t, emb):
+            return pp(placed, x, t, emb)
+    else:
+        seg = SegmentedSDUNet(pipe.unet_config, dtype=pipe.dtype)
+        unet_params = pipe.unet_params
+
+        def denoiser(x, t, emb):
+            return seg(unet_params, x, t, emb)
 
     encode = jax.jit(
         lambda vp, images: encode_to_latents(pipe.vae, vp, images)
@@ -170,11 +185,14 @@ def _make_segmented_transfer_fn(
 def _make_transfer_fn(
     pipe, method: str, params: MethodParams, steps: int,
     segmented: bool = False,
+    pipeline_parallel: bool = False,
 ):
     """One jitted function (images, src_labels, tgt_labels, rng) → images."""
     is_sd = isinstance(pipe, SDImg2ImgPipeline)
     if segmented and is_sd:
-        return _make_segmented_transfer_fn(pipe, method, params, steps)
+        return _make_segmented_transfer_fn(
+            pipe, method, params, steps, pipeline_parallel=pipeline_parallel
+        )
 
     if is_sd:
         denoiser = pipe.denoiser_fn()
@@ -284,6 +302,7 @@ class ComparisonExperiment:
                 fn = _make_transfer_fn(
                     pipe, method, params, cfg.num_inference_steps,
                     segmented=self._use_segmented(pipe),
+                    pipeline_parallel=cfg.pipeline_parallel,
                 )
                 for split_name, index in self.splits.items():
                     out_dir = os.path.join(

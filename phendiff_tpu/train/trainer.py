@@ -44,7 +44,12 @@ from phendiff_tpu.data.imagefolder import (
 )
 from phendiff_tpu.models.embeddings import pad_to_clip_sequence
 from phendiff_tpu.obs.trackers import Tracker, make_tracker
-from phendiff_tpu.parallel import make_mesh, replicated, shard_batch
+from phendiff_tpu.parallel import (
+    make_mesh,
+    shard_batch,
+    shard_train_state,
+)
+from phendiff_tpu.parallel.mesh import DATA_AXIS
 from phendiff_tpu.pipelines.ddim_pipeline import ConditionalDDIMPipeline
 from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
 from phendiff_tpu.train.checkpoints import CheckpointManager
@@ -125,6 +130,10 @@ class TrainerConfig:
     # 16GB v5e and runs ~19% faster (160.9 vs 130.5 samples/s at batch 32);
     # enable for larger resolutions/models where activations exceed HBM.
     remat: bool = False
+    # Tensor parallelism: shard params over a model mesh axis
+    # (parallel/tp.py rules); devices are split data x model.  1 = pure
+    # data parallelism (the reference's only mode).
+    model_parallel: int = 1
     # engine configs
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
@@ -188,8 +197,21 @@ class Trainer:
     ):
         self.config = config
         self.paths = paths
-        self.mesh = make_mesh(devices)
-        dp_size = int(self.mesh.devices.size)
+        self.mesh = make_mesh(devices, model_parallel=config.model_parallel)
+        # lr scaling follows the number of DATA ranks (the reference's
+        # num_processes): model-axis devices hold shards of ONE replica.
+        dp_size = int(self.mesh.shape[DATA_AXIS])
+        if config.model_parallel > 1:
+            # the fused Pallas attention kernel has no GSPMD partitioning
+            # rule (parallel/tp.py docstring): run TP programs on the XLA
+            # attention path unless the user forced otherwise
+            os.environ.setdefault("PHENDIFF_ATTN_IMPL", "xla")
+            logging.getLogger(__name__).info(
+                "tensor parallelism model=%d over %d devices (data=%d); "
+                "attention impl: %s",
+                config.model_parallel, self.mesh.devices.size, dp_size,
+                os.environ["PHENDIFF_ATTN_IMPL"],
+            )
 
         # lr × sqrt(world size), as the reference does across DDP ranks
         opt_cfg = dataclasses.replace(
@@ -209,9 +231,10 @@ class Trainer:
             ),
             donate_argnums=(0,),
         )
-        self.state = jax.device_put(
-            init_train_state(trainable_params, self.optimizer),
-            replicated(self.mesh),
+        # model_parallel=1: every tp_spec is P() and this is plain
+        # replication; >1: params/moments/EMA shard over the model axis
+        self.state = shard_train_state(
+            init_train_state(trainable_params, self.optimizer), self.mesh
         )
         self.ckpt = CheckpointManager(
             self.paths.checkpoints, config.checkpoints_total_limit
@@ -225,14 +248,15 @@ class Trainer:
         self.evaluator = None
         if config.compute_metrics:
             def _eval_shard(labels):
-                if labels.shape[0] % self.mesh.devices.size == 0:
+                dp = int(self.mesh.shape[DATA_AXIS])
+                if labels.shape[0] % dp == 0:
                     return shard_batch(self.mesh, labels)
                 # loud fallback (eval always emits full batches, so this
                 # only fires for hand-built Evaluator calls)
                 logging.getLogger(__name__).warning(
-                    "eval batch %d not divisible by mesh size %d: labels "
-                    "stay unsharded — generation runs on ONE device",
-                    labels.shape[0], self.mesh.devices.size,
+                    "eval batch %d not divisible by data-axis size %d: "
+                    "labels stay unsharded — generation runs on ONE device",
+                    labels.shape[0], dp,
                 )
                 return labels
 
@@ -373,7 +397,10 @@ def for_ddim_pipeline(
 
     model = CondUNet2D(
         pipe.unet_config, dtype=policy.compute_jnp, remat=config.remat,
-        lane_pack=pipe.lane_pack,
+        # lane packing is a single-chip minor-dim-utilization layout; under
+        # tensor parallelism the channel dim is sharded instead
+        # (parallel/tp.py docstring)
+        lane_pack=pipe.lane_pack and config.model_parallel == 1,
     )
 
     def model_apply(params, x, t, class_emb):

@@ -50,7 +50,11 @@ def test_segmented_route_matches_monolithic(tiny_image_root, tmp_path):
     pipe.save_pretrained(str(pipe_dir))
 
     outs = {}
-    for route, seg_flag in (("mono", False), ("seg", True)):
+    # "pp" = segmented stages spread over the CPU-mesh devices as a
+    # pipeline (parallel/pp.py) — must also match the jitted route
+    for route, seg_flag, pp_flag in (
+        ("mono", False, False), ("seg", True, False), ("pp", True, True),
+    ):
         cfg = ComparisonConfig(
             output_dir=str(tmp_path / route),
             pipelines={"sd": str(pipe_dir)},
@@ -65,18 +69,22 @@ def test_segmented_route_matches_monolithic(tiny_image_root, tmp_path):
             metrics=MetricsConfig(fid=False, isc=False, kid=False),
             debug=True,
             segmented_sd=seg_flag,
+            pipeline_parallel=pp_flag,
         )
         ComparisonExperiment(cfg).run_transfers()
         outs[route] = sorted(
             p for p in (tmp_path / route).rglob("*_to_*.png")
         )
-    assert len(outs["mono"]) == len(outs["seg"]) > 0
-    for a, b in zip(outs["mono"], outs["seg"]):
-        assert a.relative_to(tmp_path / "mono") == b.relative_to(tmp_path / "seg")
-        with Image.open(a) as ia, Image.open(b) as ib:
-            pa, pb = np.asarray(ia), np.asarray(ib)
-        # identical math, different program boundaries → allow ±1 quantum
-        assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
+    assert len(outs["mono"]) == len(outs["seg"]) == len(outs["pp"]) > 0
+    for other in ("seg", "pp"):
+        for a, b in zip(outs["mono"], outs[other]):
+            assert a.relative_to(tmp_path / "mono") == b.relative_to(
+                tmp_path / other
+            )
+            with Image.open(a) as ia, Image.open(b) as ib:
+                pa, pb = np.asarray(ia), np.asarray(ib)
+            # identical math, different program boundaries → allow ±1 quantum
+            assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
 
 
 def test_auto_select_threshold(tiny_image_root, tmp_path):

@@ -1,0 +1,281 @@
+"""Tensor-parallel (model-axis) sharding tests on the 8-device CPU mesh.
+
+GSPMD guarantees numerics are sharding-independent; these tests pin that
+the rule set in ``parallel/tp.py`` (a) actually shards what it claims,
+(b) leaves forward results and a full optimizer step identical to the
+single-device program, for both UNet families."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from phendiff_tpu.models import CondUNet2D, UNet2DConfig
+from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+from phendiff_tpu.parallel import (
+    MODEL_AXIS,
+    make_mesh,
+    shard_batch,
+    shard_params,
+    shard_train_state,
+    tp_shardings,
+    tp_spec,
+)
+
+TINY_ATTN = UNet2DConfig(
+    sample_size=8,
+    block_out_channels=(8, 16),
+    down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+    up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+    layers_per_block=1,
+    norm_num_groups=4,
+    attention_head_dim=4,
+    num_class_embeds=2,
+)
+
+TINY_SD = SDUNetConfig(
+    sample_size=8,
+    block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    layers_per_block=1,
+    cross_attention_dim=24,
+    attention_head_dim=(2, 4),
+    norm_num_groups=4,
+)
+
+
+def tp_mesh(model_parallel=4):
+    return make_mesh(jax.devices()[:8], model_parallel=model_parallel)
+
+
+# ---------------------------------------------------------------- rules --
+def test_tp_spec_rules():
+    # column-parallel dense: out dim sharded
+    assert tp_spec(("attn", "qkv", "kernel"), (8, 24), 4) == P(None, MODEL_AXIS)
+    assert tp_spec(("attn1", "to_q", "kernel"), (16, 16), 4) == P(None, MODEL_AXIS)
+    # row-parallel dense: in dim sharded
+    assert tp_spec(("attn", "proj_out", "kernel"), (8, 8), 4) == P(MODEL_AXIS, None)
+    assert tp_spec(("attn2", "to_out", "kernel"), (16, 16), 4) == P(MODEL_AXIS, None)
+    # Megatron conv pair
+    assert tp_spec(("res0", "conv1", "kernel"), (3, 3, 8, 16), 4) == P(
+        None, None, None, MODEL_AXIS
+    )
+    assert tp_spec(("res0", "conv2", "kernel"), (3, 3, 16, 16), 4) == P(
+        None, None, MODEL_AXIS, None
+    )
+    # non-divisible dims fall back to replication
+    assert tp_spec(("x", "conv1", "kernel"), (3, 3, 8, 6), 4) == P()
+    assert tp_spec(("x", "qkv", "kernel"), (8, 9), 4) == P()
+    # biases / norms / embeddings replicate
+    assert tp_spec(("attn", "qkv", "bias"), (24,), 4) == P()
+    assert tp_spec(("class_embedding", "embedding"), (2, 32), 4) == P()
+    # tp=1 is a no-op
+    assert tp_spec(("attn", "qkv", "kernel"), (8, 24), 1) == P()
+
+
+def test_tp_shardings_cover_the_big_leaves():
+    model = CondUNet2D(TINY_ATTN)
+    x = jnp.zeros((1, 8, 8, 3))
+    params = model.init(
+        jax.random.key(0), x, jnp.array([0]), class_labels=jnp.array([0])
+    )
+    mesh = tp_mesh(4)
+    shardings = tp_shardings(params, mesh)
+    flat = jax.tree.leaves(
+        jax.tree.map(lambda s: any(p is not None for p in s.spec), shardings)
+    )
+    # at least the qkv/proj_out/conv1/conv2 kernels must be sharded
+    assert sum(flat) >= 8, f"only {sum(flat)} sharded leaves"
+
+
+# -------------------------------------------------------------- forward --
+def _allclose(a, b):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_condunet_forward_matches_single_device():
+    model = CondUNet2D(TINY_ATTN)
+    x0 = jnp.zeros((1, 8, 8, 3))
+    params = model.init(
+        jax.random.key(0), x0, jnp.array([0]), class_labels=jnp.array([0])
+    )
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 3))
+    t = jnp.array([0, 3, 7, 11])
+    labels = jnp.array([0, 1, 0, 1])
+    ref = model.apply(params, x, t, class_labels=labels)
+
+    mesh = tp_mesh(4)  # data=2 x model=4
+    sp = shard_params(params, mesh)
+    xb, tb, lb = shard_batch(mesh, (np.asarray(x), np.asarray(t), np.asarray(labels)))
+    out = jax.jit(
+        lambda p, xx, tt, ll: model.apply(p, xx, tt, class_labels=ll)
+    )(sp, xb, tb, lb)
+    _allclose(out, ref)
+
+
+def test_sd_unet_forward_matches_single_device():
+    model = SDUNet(TINY_SD)
+    x0 = jnp.zeros((2, 8, 8, 4))
+    ctx0 = jnp.zeros((2, 77, 24))
+    params = model.init(jax.random.key(0), x0, jnp.array([0, 1]), ctx0)
+    x = jax.random.normal(jax.random.key(1), (4, 8, 8, 4))
+    ctx = jax.random.normal(jax.random.key(2), (4, 77, 24))
+    t = jnp.array([0, 5, 9, 13])
+    ref = model.apply(params, x, t, ctx)
+
+    mesh = tp_mesh(2)  # data=4 x model=2
+    sp = shard_params(params, mesh)
+    xb, tb, cb = shard_batch(
+        mesh, (np.asarray(x), np.asarray(t), np.asarray(ctx))
+    )
+    out = jax.jit(lambda p, xx, tt, cc: model.apply(p, xx, tt, cc))(
+        sp, xb, tb, cb
+    )
+    _allclose(out, ref)
+
+
+# ------------------------------------------------------------ train step --
+def test_train_step_matches_single_device():
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.train.train_loop import (
+        OptimizerConfig,
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    model = CondUNet2D(TINY_ATTN)
+    x0 = jnp.zeros((1, 8, 8, 3))
+    params = model.init(
+        jax.random.key(0), x0, jnp.array([0]), class_labels=jnp.array([0])
+    )
+
+    def model_apply(p, xx, t, class_emb):
+        return model.apply(p, xx, t, class_emb=class_emb)
+
+    def embed_fn(p, labels):
+        return p["params"]["class_embedding"]["embedding"][labels]
+
+    schedule = make_schedule(SchedulerConfig(num_train_timesteps=20))
+    tcfg = TrainConfig(optimizer=OptimizerConfig(learning_rate=1e-3))
+    optimizer = make_optimizer(tcfg.optimizer)
+    step_fn = make_train_step(model_apply, embed_fn, schedule, tcfg, optimizer)
+
+    images = np.random.default_rng(0).normal(size=(8, 8, 8, 3)).astype(np.float32)
+    labels = np.tile(np.array([0, 1], dtype=np.int32), 4)
+    key = jax.random.key(7)
+
+    ref_state, ref_metrics = jax.jit(step_fn)(
+        init_train_state(params, optimizer), (jnp.asarray(images), jnp.asarray(labels)), key
+    )
+
+    mesh = tp_mesh(4)
+    state = shard_train_state(init_train_state(params, optimizer), mesh)
+    batch = shard_batch(mesh, (images, labels))
+    new_state, metrics = jax.jit(step_fn)(state, batch, key)
+
+    assert np.isclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+
+    # Adam's update is lr * g/(sqrt(v)+eps): for leaves whose gradient is
+    # near eps, float32 reduction-order noise (sharded psum vs single-device
+    # sum) is amplified to a fraction of lr.  Bound the step by 0.25*lr
+    # absolute — real sharding bugs produce O(param)-scale errors across
+    # many leaves, far above this.
+    def _step_close(a, b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=2.5e-4
+        )
+
+    jax.tree.map(_step_close, new_state.params, ref_state.params)
+    jax.tree.map(_step_close, new_state.ema_params, ref_state.ema_params)
+    # the sharding survived the step (params did not collapse to replicated)
+    kern = new_state.params["params"]["down_1_attn_0"]["qkv"]["kernel"]
+    assert kern.sharding.spec == P(None, MODEL_AXIS)
+
+
+# ------------------------------------------------------------- trainer --
+def test_trainer_runs_tensor_parallel(tiny_image_root, tmp_path):
+    """End-to-end Trainer with model_parallel=2 (data=4 x model=2): one
+    epoch runs, the per-step losses match the pure-DP trainer, and the
+    param tree stays model-axis sharded through steps + checkpointing."""
+    from phendiff_tpu.core import SchedulerConfig
+    from phendiff_tpu.pipelines import ConditionalDDIMPipeline
+    from phendiff_tpu.train.eval_loop import EvalConfig
+    from phendiff_tpu.train.train_loop import OptimizerConfig, TrainConfig
+    from phendiff_tpu.train.trainer import (
+        RunPaths,
+        TrainerConfig,
+        for_ddim_pipeline,
+    )
+
+    sched = SchedulerConfig(num_train_timesteps=20, clip_sample=False)
+
+    def run_one(subdir, model_parallel, devices=None):
+        paths = RunPaths.create(str(tmp_path / subdir), "exp", "run0")
+        cfg = TrainerConfig(
+            train_data_dir=str(tiny_image_root),
+            definition=(16, 16),
+            train_batch_size=8,
+            num_epochs=1,
+            eval_every_epochs=None,
+            checkpointing_steps=4,
+            mixed_precision="no",
+            compute_metrics=False,
+            model_parallel=model_parallel,
+            train=TrainConfig(
+                proba_uncond=0.1,
+                optimizer=OptimizerConfig(learning_rate=1e-3, total_steps=50),
+            ),
+            eval=EvalConfig(nb_generated_images=4, eval_batch_size=4,
+                            num_inference_steps=2),
+            tracker="jsonl",
+        )
+        pipe = ConditionalDDIMPipeline.init_random(TINY_ATTN, sched, seed=0)
+        trainer = for_ddim_pipeline(pipe, cfg, paths, devices=devices)
+        state = trainer.run()
+        import json, os
+
+        with open(os.path.join(paths.run_dir, "metrics.jsonl")) as f:
+            losses = [
+                json.loads(l)["loss"] for l in f if "\"loss\"" in l
+            ]
+        return trainer, state, losses
+
+    trainer, state, tp_losses = run_one("tp", 2)
+    assert int(state.step) == 4  # 32 imgs / batch 8
+    kern = state.params["params"]["down_1_attn_0"]["qkv"]["kernel"]
+    assert kern.sharding.spec == P(None, MODEL_AXIS)
+    assert trainer.ckpt.latest_step() == 4
+
+    # pure DP over 4 devices: same data ranks (same lr x sqrt(dp) scale,
+    # same per-rank batches) — only the model axis differs
+    _, _, dp_losses = run_one("dp", 1, devices=jax.devices()[:4])
+    np.testing.assert_allclose(tp_losses, dp_losses, rtol=1e-4)
+
+
+def test_shard_params_places_on_model_axis():
+    model = SDUNet(TINY_SD)
+    params = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 8, 8, 4)),
+        jnp.array([0]),
+        jnp.zeros((1, 77, 24)),
+    )
+    mesh = tp_mesh(2)
+    sp = shard_params(params, mesh)
+
+    def count_sharded(t):
+        return sum(
+            any(p is not None for p in leaf.sharding.spec)
+            for leaf in jax.tree.leaves(t)
+        )
+
+    n = count_sharded(sp)
+    assert n >= 10, f"expected >=10 model-sharded leaves, got {n}"
