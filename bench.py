@@ -1,15 +1,32 @@
-"""Benchmark: the BASELINE.md milestone metrics, ONE JSON line.
+"""Benchmark: the BASELINE.md milestone metrics, ONE JSON line — always.
 
-Default (combined) mode measures all four driver-visible numbers
-(VERDICT r2 #7) on whatever accelerator JAX exposes:
+Architecture (VERDICT r3 #1: the round-3 artifact was lost to a one-shot
+tunnel flake, so the harness itself must be un-losable):
 
-1. **headline** — img2img class transfers/sec/chip: 50-step DDIM inversion
-   + 50-step regeneration at 128px (one DDIB transfer = 100 UNet forwards
-   per image) on the super_small conditional UNet;
-2. train samples/sec/chip on the same config (AdamW+EMA+CFG dropout);
-3. full-width SD-2.1 segmented DDIB latent transfer @128px (the
-   reference's SD-ddib config, batch_size/a100-80gb.yaml:8);
-4. the same @512px (BASELINE.md milestone 4 resolution);
+* The PARENT (default entry) never imports jax.  It probes backend
+  acquisition in bounded subprocesses (retry loop — a dead tunnel exits in
+  minutes with a clear message instead of hanging in the PJRT plugin's
+  retry sleep), then runs every section as its own watchdogged child
+  process, persists each successful section to ``BENCH_LAST_GOOD.json``,
+  and ALWAYS prints exactly one JSON line: fresh numbers when captured,
+  last-good numbers marked ``"stale": true`` plus an ``"error"`` field
+  when a section (or the whole tunnel) is down.  Exit code is 0 whenever
+  a JSON line was produced.
+* A CHILD (``BENCH_CHILD=1``) runs one section in-process and prints that
+  section's JSON (the pre-r4 behavior).
+
+Sections = the driver-visible milestone numbers (VERDICT r2 #7 + r3 #2):
+
+1. **transfer** (headline) — img2img class transfers/sec/chip: 50-step
+   DDIM inversion + 50-step regeneration at 128px on the super_small
+   conditional UNet;
+2. **train** — train samples/sec/chip on the same config (AdamW+EMA+CFG
+   dropout);
+3. **sd128** — full-width SD-2.1 segmented DDIB latent transfer @128px
+   (the reference's SD-ddib config, batch_size/a100-80gb.yaml:8);
+4. **sd512** — the same @512px (BASELINE.md milestone 4 resolution);
+5. **sdtrain** — full-width SD-2.1 segmented fine-tune step @128px with
+   the real run's semantics (EMA, global clip, donation);
 with MFU for each (algorithmic XLA-reported FLOPs over the chip's bf16
 peak).
 
@@ -24,22 +41,15 @@ equivalent XLA program on v5e), so treat vs_baseline as a conservative
 lower bound.  The BASELINE.json target (≥5x A100) assumes v5p-8 hardware;
 this chip is a single v5e-lite with 63% of one A100's peak FLOPs.
 
-Set BENCH_MODE=transfer|train|sd128|sd512 to run one section alone.
+Set BENCH_MODE=transfer|train|sd128|sd512|sdtrain to run one section
+alone (parent still wraps it in the probe + watchdog + last-good logic).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
-
-os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
-
-import jax
-import jax.numpy as jnp
-
-# Remote compiles over the tunnel take minutes; cache them across runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
@@ -54,6 +64,35 @@ A100_ASSUMED_UTILIZATION = 0.40
 # tracked against hardware, not only against the estimated-A100 line).
 CHIP_PEAK_FLOPS = float(os.environ.get("BENCH_CHIP_PEAK_FLOPS", 197e12))
 
+SECTIONS = ("transfer", "train", "sd128", "sd512", "sdtrain")
+LAST_GOOD_PATH = os.environ.get(
+    "BENCH_LAST_GOOD", os.path.join(os.path.dirname(__file__) or ".",
+                                    "BENCH_LAST_GOOD.json")
+)
+# Generous per-section watchdogs: first compiles over the tunnel take
+# minutes (cached afterwards), but a hung backend must die in bounded time.
+WATCHDOG = {
+    "transfer": int(os.environ.get("BENCH_WATCHDOG_TRANSFER", 1500)),
+    "train": int(os.environ.get("BENCH_WATCHDOG_TRAIN", 1500)),
+    "sd128": int(os.environ.get("BENCH_WATCHDOG_SD128", 2400)),
+    "sd512": int(os.environ.get("BENCH_WATCHDOG_SD512", 3000)),
+    "sdtrain": int(os.environ.get("BENCH_WATCHDOG_SDTRAIN", 3000)),
+}
+
+
+# ---------------------------------------------------------------------------
+# Child: one section in-process (imports jax)
+# ---------------------------------------------------------------------------
+
+def _child_setup():
+    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    import jax
+
+    # Remote compiles over the tunnel take minutes; cache them across runs.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return jax
+
 
 def bench_train():
     """Training-step throughput (samples/s/chip) on the flagship config.
@@ -61,6 +100,9 @@ def bench_train():
     Comparable fact from the reference: 112 images/GPU at 128px fp16 fit an
     A100 for from-scratch DDIM training (BASELINE.md); throughput itself is
     unpublished."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+
     from phendiff_tpu.core import SchedulerConfig, make_schedule
     from phendiff_tpu.models import CondUNet2D
     from phendiff_tpu.models import config as C
@@ -119,6 +161,9 @@ def bench_train():
 
 
 def bench_transfer():
+    jax = _child_setup()
+    import jax.numpy as jnp
+
     from phendiff_tpu.core import SchedulerConfig, make_schedule
     from phendiff_tpu.models import CondUNet2D
     from phendiff_tpu.models import config as C
@@ -214,6 +259,9 @@ def bench_sd(latent: int, batch: int, steps: int = 50):
     Params are zeros of the right shapes (throughput on MXU/VPU is
     data-independent; a real init costs ~6 min of device RNG over the
     tunnel and changes nothing about timing)."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+
     from phendiff_tpu.models.embeddings import pad_to_clip_sequence
     from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
     from phendiff_tpu.models.sd_unet import SDUNetConfig
@@ -273,42 +321,272 @@ def bench_sd(latent: int, batch: int, steps: int = 50):
     }
 
 
-def main():
-    if MODE == "train":
-        print(json.dumps(bench_train()))
-        return
-    if MODE == "transfer":
-        print(json.dumps(bench_transfer()))
-        return
-    if MODE == "sd128":
-        print(json.dumps(bench_sd(16, int(os.environ.get("BENCH_SD_BATCH", "64")))))
-        return
-    if MODE == "sd512":
-        print(json.dumps(bench_sd(64, int(os.environ.get("BENCH_SD_BATCH", "8")))))
-        return
+def bench_sd_train(latent: int = 16, batch: int = 32):
+    """Full-width SD-2.1 segmented fine-tune STEP @128px with the real
+    run's semantics: per-stage VJP chain, ctx (class-embedding) stage,
+    global grad clip, per-stage EMA, donated buffers (VERDICT r3 #2's
+    "captured by a bench.py sd-train section").  Params are zeros (MXU/VPU
+    timing is data-independent, see bench_sd)."""
+    jax = _child_setup()
+    import jax.numpy as jnp
+    import optax
 
-    # combined: ONE line carrying all four milestone numbers (VERDICT r2 #7)
-    result = bench_transfer()
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.models.sd_segmented import SegmentedSDUNet
+    from phendiff_tpu.models.sd_unet import SDUNetConfig
+    from phendiff_tpu.train.segmented_train import CtxEmbed, SegmentedSDTrainStep
+
+    clip_mode = os.environ.get("BENCH_SD_CLIP_MODE", "cache")
+    cfg = SDUNetConfig(sample_size=latent)
+    seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
+    ctx = CtxEmbed(num_classes=2, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        seg.init, jax.random.key(0),
+        jnp.zeros((1, latent, latent, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+    )
+    merged = {k: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), v)
+              for k, v in shapes["params"].items()}
+    ce_shapes = jax.eval_shape(ctx.init, jax.random.key(0), jnp.zeros((1,), jnp.int32))
+    merged["class_embedding"] = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        ce_shapes["params"]["class_embedding"],
+    )
+    params = {"params": merged}
+    n = sum(p.size for p in jax.tree.leaves(params))
+
+    schedule = make_schedule(SchedulerConfig(num_train_timesteps=1000))
+    step_fn = SegmentedSDTrainStep(
+        seg, schedule, optax.adamw(1e-5), proba_uncond=0.1,
+        ema=__import__("phendiff_tpu.train.ema", fromlist=["EMAConfig"]).EMAConfig(),
+        max_grad_norm=1.0, clip_mode=clip_mode, ctx_module=ctx,
+    )
+    # forward FLOPs for MFU (train step ≈ 3x fwd + clip-mode extra)
+    x0 = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
+    emb_probe = jnp.zeros((batch, 77, 1024))
+    t_probe = jnp.full((batch,), 1, jnp.int32)
+    t0 = time.perf_counter()
+    fwd_flops = seg.cost_flops(params, x0, t_probe, emb_probe)
+    bwd_mult = 3.0 if clip_mode != "recompute" else 5.0  # fwd + (2x bwd) [+ 2x bwd]
+    print(f"# sdtrain stage compiles: {time.perf_counter() - t0:.1f}s "
+          f"({n / 1e6:.0f}M params, clip={clip_mode})", file=sys.stderr)
+
+    opt_state = step_fn.init_opt_state(params)
+    ema = jax.tree.map(jnp.copy, params)
+    labels = jnp.tile(jnp.array([0, 1], jnp.int32), batch // 2)
+
+    t0 = time.perf_counter()
+    params, opt_state, ema, m = step_fn(
+        params, opt_state, x0, labels, jax.random.key(2),
+        donate=True, ema_params=ema, step=0,
+    )
+    jax.block_until_ready(m["loss"])
+    print(f"# sdtrain first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    iters = int(os.environ.get("BENCH_SDTRAIN_ITERS", "5"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, ema, m = step_fn(
+            params, opt_state, x0, labels, jax.random.key(3 + i),
+            donate=True, ema_params=ema, step=1 + i,
+        )
+        jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    sustained = fwd_flops * bwd_mult * iters / dt
+    return {
+        "metric": f"sd_train_samples_per_sec_per_chip_{latent * 8}px",
+        "value": round(batch * iters / dt, 2),
+        "unit": "samples/s/chip",
+        "batch": batch,
+        "latent": latent,
+        "clip_mode": clip_mode,
+        "step_time_s": round(dt / iters, 3),
+        "tflops_per_sec": round(sustained / 1e12, 1),
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3),
+    }
+
+
+def run_section(section: str) -> dict:
+    if section == "train":
+        return bench_train()
+    if section == "transfer":
+        return bench_transfer()
+    if section == "sd128":
+        return bench_sd(16, int(os.environ.get("BENCH_SD_BATCH_128", "64")))
+    if section == "sd512":
+        return bench_sd(64, int(os.environ.get("BENCH_SD_BATCH_512", "8")))
+    if section == "sdtrain":
+        return bench_sd_train(16, int(os.environ.get("BENCH_SDTRAIN_BATCH", "32")))
+    raise ValueError(f"unknown section {section!r}")
+
+
+# ---------------------------------------------------------------------------
+# Parent: probe, watchdogged children, last-good fallback (no jax import)
+# ---------------------------------------------------------------------------
+
+_PROBE_CODE = (
+    "import os;"
+    "os.environ.setdefault('JAX_PLATFORMS','axon,cpu');"
+    "import jax;"
+    "ds=jax.devices();"
+    "print('# probe ok:',ds[0]);"
+)
+
+
+def _probe_backend() -> tuple:
+    """Bounded backend-acquisition probe: the PJRT plugin can hang forever
+    in a retry sleep when the tunnel is down (BENCH_r03 post-mortem) — a
+    subprocess timeout turns that into a clean bounded failure."""
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", "5"))
+    timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
+    gap = int(os.environ.get("BENCH_PROBE_GAP", "45"))
+    last_err = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_CODE],
+                capture_output=True, text=True, timeout=timeout,
+            )
+            if r.returncode == 0:
+                return True, ""
+            last_err = (r.stderr or r.stdout).strip().splitlines()[-1:] or [""]
+            last_err = last_err[0][:300]
+        except subprocess.TimeoutExpired:
+            last_err = f"backend init hang (>{timeout}s, attempt {i + 1})"
+        print(f"# probe attempt {i + 1}/{attempts} failed: {last_err}",
+              file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(gap)
+    return False, last_err
+
+
+def _run_child(section: str) -> tuple:
+    """One section in a watchdogged subprocess; returns (result|None, err)."""
+    env = dict(os.environ, BENCH_CHILD="1", BENCH_MODE=section)
+    budget = WATCHDOG[section]
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=budget, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            return None, f"{section}: watchdog expired after {budget}s"
+        sys.stderr.write(r.stderr or "")
+        if r.returncode == 0:
+            for line in reversed((r.stdout or "").strip().splitlines()):
+                try:
+                    return json.loads(line), ""
+                except json.JSONDecodeError:
+                    continue
+            return None, f"{section}: child printed no JSON"
+        err = (r.stderr or r.stdout).strip().splitlines()[-1:] or [""]
+        err = f"{section}: child rc={r.returncode}: {err[0][:300]}"
+        # one retry, only for fast failures (transient tunnel handoff —
+        # the single-client backend can reject right after a process exit)
+        if attempt == 0:
+            time.sleep(int(os.environ.get("BENCH_RETRY_GAP", "60")))
+            continue
+        return None, err
+    return None, err
+
+
+def _flatten(section: str, res: dict) -> dict:
+    """Map a section result onto the combined line's key space."""
+    if section == "transfer":
+        return dict(res)  # the headline carries metric/value/unit
+    if section == "train":
+        return {"train_samples_per_sec_per_chip": res["value"],
+                "train_mfu": res.get("mfu")}
+    if section == "sd128":
+        return {"sd_transfers_per_sec_per_chip_128px": res["value"],
+                "sd_mfu_128px": res.get("mfu")}
+    if section == "sd512":
+        return {"sd_transfers_per_sec_per_chip_512px": res["value"],
+                "sd_mfu_512px": res.get("mfu")}
+    if section == "sdtrain":
+        return {"sd_train_samples_per_sec_per_chip_128px": res["value"],
+                "sd_train_step_time_s": res.get("step_time_s"),
+                "sd_train_mfu_128px": res.get("mfu")}
+    return {}
+
+
+def _load_last_good() -> dict:
     try:
-        train = bench_train()
-        result["train_samples_per_sec_per_chip"] = train["value"]
-        result["train_mfu"] = train["mfu"]
-    except Exception as e:  # keep the headline even if a section dies
-        print(f"# train section failed: {e}", file=sys.stderr)
+        with open(LAST_GOOD_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {"sections": {}}
+
+
+def _save_last_good(store: dict) -> None:
     try:
-        sd128 = bench_sd(16, int(os.environ.get("BENCH_SD_BATCH_128", "64")))
-        result["sd_transfers_per_sec_per_chip_128px"] = sd128["value"]
-        result["sd_mfu_128px"] = sd128["mfu"]
-    except Exception as e:
-        print(f"# sd128 section failed: {e}", file=sys.stderr)
-    try:
-        sd512 = bench_sd(64, int(os.environ.get("BENCH_SD_BATCH_512", "8")))
-        result["sd_transfers_per_sec_per_chip_512px"] = sd512["value"]
-        result["sd_mfu_512px"] = sd512["mfu"]
-    except Exception as e:
-        print(f"# sd512 section failed: {e}", file=sys.stderr)
-    print(json.dumps(result))
+        with open(LAST_GOOD_PATH, "w") as f:
+            json.dump(store, f, indent=2, sort_keys=True)
+    except Exception as e:  # persisting is best-effort
+        print(f"# could not write {LAST_GOOD_PATH}: {e}", file=sys.stderr)
+
+
+def main_parent() -> int:
+    sections = [MODE] if MODE in SECTIONS else list(SECTIONS)
+    store = _load_last_good()
+    errors = []
+    fresh = {}
+
+    ok, probe_err = _probe_backend()
+    if ok:
+        # the single-client tunnel can transiently reject a new process
+        # right after the probe's exits — give it a moment
+        time.sleep(int(os.environ.get("BENCH_CHILD_DELAY", "10")))
+        for s in sections:
+            res, err = _run_child(s)
+            if res is not None:
+                fresh[s] = res
+                store["sections"][s] = {
+                    "result": res,
+                    "captured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                }
+                _save_last_good(store)  # persist after EVERY section
+            else:
+                errors.append(err)
+            time.sleep(int(os.environ.get("BENCH_SECTION_GAP", "10")))
+    else:
+        errors.append(f"backend probe failed: {probe_err}")
+
+    # assemble the one line: fresh sections verbatim, missing ones from
+    # last-good marked stale
+    out = {}
+    stale_sections = []
+    for s in sections:
+        if s in fresh:
+            out.update(_flatten(s, fresh[s]))
+        elif s in store.get("sections", {}):
+            entry = store["sections"][s]
+            out.update(_flatten(s, entry["result"]))
+            stale_sections.append({"section": s, "captured_at": entry["captured_at"]})
+    if stale_sections:
+        out["stale"] = True
+        out["stale_sections"] = stale_sections
+    if errors:
+        out["error"] = "; ".join(errors)
+    if "metric" not in out:
+        # nothing at all (no fresh headline, no last-good): still one line
+        out.setdefault("metric", f"img2img_transfers_per_sec_per_chip_{STEPS}step_{RES}px")
+        out.setdefault("value", None)
+        out.setdefault("unit", "transfers/s/chip")
+        out.setdefault("vs_baseline", None)
+    out["fresh_sections"] = sorted(fresh)
+    print(json.dumps(out))
+    return 0
+
+
+def main():
+    if os.environ.get("BENCH_CHILD") == "1":
+        section = MODE if MODE in SECTIONS else "transfer"
+        print(json.dumps(run_section(section)))
+        return 0
+    return main_parent()
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -249,16 +249,17 @@ class Trainer:
         if config.compute_metrics:
             def _eval_shard(labels):
                 dp = int(self.mesh.shape[DATA_AXIS])
-                if labels.shape[0] % dp == 0:
-                    return shard_batch(self.mesh, labels)
-                # loud fallback (eval always emits full batches, so this
-                # only fires for hand-built Evaluator calls)
-                logging.getLogger(__name__).warning(
-                    "eval batch %d not divisible by data-axis size %d: "
-                    "labels stay unsharded — generation runs on ONE device",
-                    labels.shape[0], dp,
-                )
-                return labels
+                rem = int(labels.shape[0]) % dp
+                if rem:
+                    # Pad to the next multiple of the data-axis size by
+                    # cycling the batch (eval batches are one class, so the
+                    # extras are valid draws of the same class; the
+                    # Evaluator trims to nb_generated_images at the end).
+                    # Generation stays data-parallel — the reference keeps
+                    # all ranks busy the same way (utils_training.py:128-139).
+                    target = int(labels.shape[0]) + dp - rem
+                    labels = jnp.resize(labels, (target,))
+                return shard_batch(self.mesh, labels)
 
             self.evaluator = Evaluator(
                 config.eval,

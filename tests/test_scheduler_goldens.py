@@ -138,3 +138,77 @@ def test_pair_stepping_equals_diffusers_derived_prev_when_divisible():
             np.testing.assert_array_equal(derived_prev[:-1], ts[1:])
             # terminal pair: both sides land below 0 → final_alpha_cumprod
             assert derived_prev[-1] < 0
+
+
+# ---------------------------------------------------------------------------
+# Closed-form anchors (VERDICT r3 #9): pure-python math.* evaluations of the
+# papers' formulas — a route independent of BOTH the vendored goldens and the
+# numpy table construction (no numpy cumprod/linspace anywhere below).
+# ---------------------------------------------------------------------------
+
+import math
+
+
+def _closed_form_betas(cfg: SchedulerConfig):
+    """β_t from the papers, as plain python floats.
+
+    linear: DDPM (Ho et al. 2020) §4;  scaled_linear: LDM/SD convention
+    (β in sqrt-space);  squaredcos_cap_v2: improved-DDPM (Nichol & Dhariwal
+    2021) eq. 17, ᾱ(t) = cos²((t/T+s)/(1+s)·π/2), s=0.008, β capped at .999."""
+    T = cfg.num_train_timesteps
+    if cfg.beta_schedule == "linear":
+        step = (cfg.beta_end - cfg.beta_start) / (T - 1)
+        return [cfg.beta_start + t * step for t in range(T)]
+    if cfg.beta_schedule == "scaled_linear":
+        s0, s1 = math.sqrt(cfg.beta_start), math.sqrt(cfg.beta_end)
+        step = (s1 - s0) / (T - 1)
+        return [(s0 + t * step) ** 2 for t in range(T)]
+    alpha_bar = lambda u: math.cos((u + 0.008) / 1.008 * math.pi / 2) ** 2
+    return [
+        min(1.0 - alpha_bar((t + 1) / T) / alpha_bar(t / T), 0.999)
+        for t in range(T)
+    ]
+
+
+@pytest.mark.parametrize("name", CONFIG_NAMES)
+def test_alpha_cumprod_closed_form_anchors(name):
+    """ᾱ at t ∈ {0, 1, T-1} from the closed-form β formulas:
+    ᾱ_0 = 1-β_0, ᾱ_1 = (1-β_0)(1-β_1), and ᾱ_{T-1} via the log-domain
+    product Σ log1p(-β_t) (numerically independent of cumprod)."""
+    cfg = _config(name)
+    if cfg.rescale_betas_zero_snr:
+        pytest.skip("zero-SNR rescale anchored separately below")
+    betas = _closed_form_betas(cfg)
+    T = cfg.num_train_timesteps
+    expected = {
+        0: 1.0 - betas[0],
+        1: (1.0 - betas[0]) * (1.0 - betas[1]),
+        T - 1: math.exp(math.fsum(math.log1p(-b) for b in betas)),
+    }
+    table = np.asarray(make_schedule(cfg).alphas_cumprod, np.float64)
+    for t, want in expected.items():
+        np.testing.assert_allclose(
+            table[t], want, rtol=2e-6, atol=1e-12,  # f32 table vs f64 anchor
+            err_msg=f"{name}: alphas_cumprod[{t}]",
+        )
+
+
+def test_zero_snr_rescale_closed_form_anchors():
+    """Lin et al. 2023 ("Common Diffusion Noise Schedules ... Flawed"):
+    after the rescale, terminal SNR is EXACTLY zero (ᾱ_{T-1} = 0) and the
+    first step is unchanged (ᾱ_0 keeps its value: the affine map in
+    sqrt-space fixes s_0 and sends s_{T-1} → 0)."""
+    for name in CONFIG_NAMES:
+        cfg = _config(name)
+        if not cfg.rescale_betas_zero_snr:
+            continue
+        betas = _closed_form_betas(cfg)
+        table = np.asarray(make_schedule(cfg).alphas_cumprod, np.float64)
+        assert table[-1] == 0.0, f"{name}: terminal SNR not exactly zero"
+        np.testing.assert_allclose(
+            table[0], 1.0 - betas[0], rtol=2e-6,
+            err_msg=f"{name}: rescale must fix alphas_cumprod[0]",
+        )
+        break
+    else:
+        pytest.skip("no shipped config enables rescale_betas_zero_snr")
