@@ -85,9 +85,14 @@ WATCHDOG = {
 # ---------------------------------------------------------------------------
 
 def _child_setup():
-    os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
+    plat = os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
     import jax
 
+    # The env var alone is NOT authoritative on machines whose sitecustomize
+    # registers + re-prioritizes the axon PJRT plugin in every process
+    # (tests/conftest.py has the same note): the config update below runs
+    # before backend init and wins.
+    jax.config.update("jax_platforms", plat)
     # Remote compiles over the tunnel take minutes; cache them across runs.
     jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
@@ -426,8 +431,9 @@ def run_section(section: str) -> dict:
 
 _PROBE_CODE = (
     "import os;"
-    "os.environ.setdefault('JAX_PLATFORMS','axon,cpu');"
+    "plat=os.environ.setdefault('JAX_PLATFORMS','axon,cpu');"
     "import jax;"
+    "jax.config.update('jax_platforms',plat);"  # beats the sitecustomize
     "ds=jax.devices();"
     "print('# probe ok:',ds[0]);"
 )

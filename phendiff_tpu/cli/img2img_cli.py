@@ -49,6 +49,9 @@ def apply_overrides(config: ComparisonConfig, overrides) -> ComparisonConfig:
 
 
 def main(argv=None) -> int:
+    from phendiff_tpu.cli import force_platform_from_env
+
+    force_platform_from_env()
     p = argparse.ArgumentParser("phendiff-img2img-comparison")
     p.add_argument("--config", required=True, help="YAML comparison config")
     p.add_argument("--override", nargs="*", default=[], help="key=value overrides")

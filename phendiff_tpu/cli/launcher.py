@@ -63,6 +63,9 @@ def sbatch_script(cmd: List[str], job_name: str, debug: bool,
 
 
 def main(argv=None) -> int:
+    from phendiff_tpu.cli import force_platform_from_env
+
+    force_platform_from_env()
     p = argparse.ArgumentParser("phendiff-launcher")
     p.add_argument("--config", required=True)
     p.add_argument("--experiment_dir", required=True)

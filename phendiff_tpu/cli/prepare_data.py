@@ -70,6 +70,9 @@ def prepare(source: str, dest: str, test_frac: float, augment: bool, seed: int):
 
 
 def main(argv=None) -> int:
+    from phendiff_tpu.cli import force_platform_from_env
+
+    force_platform_from_env()
     p = argparse.ArgumentParser("phendiff-prepare-data")
     p.add_argument("--source", required=True)
     p.add_argument("--dest", required=True)

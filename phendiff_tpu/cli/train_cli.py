@@ -113,6 +113,9 @@ def trainer_config_from_args(args) -> TrainerConfig:
 
 
 def main(argv=None):
+    from phendiff_tpu.cli import force_platform_from_env
+
+    force_platform_from_env()
     args = build_parser().parse_args(argv)
     # debug downscaling first: it sets an eval cadence and shrinks
     # nb_generated_images, both of which check_args validates
@@ -142,10 +145,12 @@ def main(argv=None):
             # full-width route: per-stage programs + per-stage-VJP training
             # (the monolithic step's HLO exceeds constrained compile
             # transports at SD-2.1 width — models/sd_segmented.py)
-            if args.attention_fine_tuning:
+            if "autoencoder" in args.components_to_train:
                 raise NotImplementedError(
-                    "--attention_fine_tuning is not supported on the "
-                    "segmented route yet; use --segmented_sd off"
+                    "training the VAE ('autoencoder') is not supported on "
+                    "the segmented route (its per-stage VJP chain covers "
+                    "the UNet + class embedding); use --segmented_sd off "
+                    "for the monolithic route, which trains it"
                 )
             if args.model_parallel > 1:
                 raise NotImplementedError(
@@ -158,6 +163,7 @@ def main(argv=None):
             seg_trainer = SegmentedSDTrainer(
                 pipeline, config, paths,
                 components_to_train=tuple(args.components_to_train),
+                attention_fine_tuning=args.attention_fine_tuning,
             )
             out = seg_trainer.run()
             print(f"done: {int(out['step'])} steps; best "

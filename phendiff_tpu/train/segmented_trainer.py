@@ -81,17 +81,30 @@ class SegmentedSDTrainer:
         tracker=None,
         seg: Optional[SegmentedSDUNet] = None,
         copy_params: bool = True,
+        attention_fine_tuning: bool = False,
     ):
         """``copy_params=False`` adopts the pipeline's param arrays instead
         of copying them — REQUIRED at full width (a second 3.5 GB param
         tree does not fit beside params+EMA+moments on 16 GB).  The caller
         must then drop its own references (``pipe.unet_params = None``)
-        and treat the pipeline object as config-only."""
+        and treat the pipeline object as config-only.
+
+        ``attention_fine_tuning`` narrows the trainable UNet leaves to the
+        Transformer2D blocks (reference ``train.py:202-220``), exactly as
+        the monolithic route's mask (``trainer.attention_param_mask``) —
+        here as per-leaf ``multi_transform`` routing, which stays exact
+        under per-stage optimizer application."""
         for c in components_to_train:
             if c not in ("denoiser", "class_embedding"):
                 raise ValueError(
-                    f"unsupported component for the SD family: {c}"
+                    f"unsupported component for the SD family on the "
+                    f"segmented route: {c}"
                 )
+        if attention_fine_tuning and "denoiser" not in components_to_train:
+            # same invariant as check_args / reference train.py:206-209
+            raise ValueError(
+                "Attention fine tuning requires 'denoiser' to be trained"
+            )
         self.config = config
         self.paths = paths
         self.pipe = pipe
@@ -114,23 +127,31 @@ class SegmentedSDTrainer:
             weight_decay=opt_cfg.adam_weight_decay,
         )
         active = set(components_to_train)
-        if active == {"denoiser", "class_embedding"}:
+        if active == {"denoiser", "class_embedding"} and not attention_fine_tuning:
             optimizer = base
         else:
             # freeze by component: the ctx stage holds the embedding; every
             # other top-level module belongs to the denoiser (name-keyed
-            # per-leaf routing, exact under per-stage application)
+            # per-leaf routing, exact under per-stage application).  Under
+            # attention fine-tuning only the Transformer2D modules keep the
+            # "unet" label (exact-name regex, no substring matching).
+            from phendiff_tpu.train.trainer import _ATTENTION_MODULE_RE
+
+            def module_label(name: str) -> str:
+                if name == "class_embedding":
+                    return "ce"
+                if attention_fine_tuning and not _ATTENTION_MODULE_RE.match(name):
+                    return "frozen"
+                return "unet"
+
             def label_fn(tree):
                 def walk(t, lbl):
                     if isinstance(t, dict):
                         return {
-                            k: walk(
-                                v,
-                                "ce" if k == "class_embedding" else lbl or "unet",
-                            )
+                            k: walk(v, lbl if lbl is not None else module_label(k))
                             for k, v in t.items()
                         }
-                    return lbl or "unet"
+                    return lbl if lbl is not None else "unet"
 
                 return walk(tree, None)
 
@@ -140,6 +161,7 @@ class SegmentedSDTrainer:
                     "ce": base
                     if "class_embedding" in active
                     else optax.set_to_zero(),
+                    "frozen": optax.set_to_zero(),
                 },
                 label_fn,
             )

@@ -191,6 +191,7 @@ def make_train_step(
     config: TrainConfig,
     optimizer: Optional[optax.GradientTransformation] = None,
     encode_fn: Optional[Callable] = None,  # (images, rng) -> clean targets
+    encode_inside_grad: bool = False,
 ):
     """Build the pure train-step function; jit it with shardings at the call
     site (see ``Trainer``).  Signature:
@@ -199,6 +200,13 @@ def make_train_step(
     ``encode_fn`` maps pixel batches to the diffusion space — identity for
     the pixel DDIM family, frozen-VAE encode × scaling for the SD family
     (reference ``utils_training.py:237-241``).
+
+    ``encode_inside_grad=True`` changes the signature to
+    ``encode_fn(params, images, rng)`` and differentiates THROUGH the
+    encode: the reference trains the VAE when ``autoencoder`` is in
+    ``components_to_train`` (``train.py:188-199``, optimizer collection
+    ``:268-271``) — gradients reach the encoder via the noisy latents (and
+    the sample/v targets); its decoder gets no gradient from this loss.
     """
     opt = optimizer or make_optimizer(config.optimizer)
     lr_sched = make_lr_schedule(config.optimizer)
@@ -207,16 +215,23 @@ def make_train_step(
         images, labels = batch
         rng = jax.random.fold_in(rng, state.step)
         k_flip, k_enc, k_loss = jax.random.split(rng, 3)
-        clean = encode_fn(images, k_enc) if encode_fn is not None else images
+        clean = (
+            images if encode_fn is None or encode_inside_grad
+            else encode_fn(images, k_enc)
+        )
 
         def loss_fn(params):
+            clean_l = (
+                encode_fn(params, images, k_enc) if encode_inside_grad
+                else clean
+            )
             class_emb = embed_fn(params, labels)
             if config.proba_uncond > 0.0:
                 # batch-level coin flip, identical on all devices (shared key)
                 uncond = jax.random.bernoulli(k_flip, config.proba_uncond)
                 class_emb = class_emb * (1.0 - uncond.astype(class_emb.dtype))
             return diffusion_loss(
-                model_apply, params, schedule, clean, class_emb, k_loss
+                model_apply, params, schedule, clean_l, class_emb, k_loss
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -191,6 +191,7 @@ class Trainer:
         generate_fn_builder: Callable,  # (state) -> generate_fn for eval
         save_pipeline_fn: Callable,  # (state, dirpath) -> None
         encode_fn: Optional[Callable] = None,
+        encode_inside_grad: bool = False,
         tracker: Optional[Tracker] = None,
         devices=None,
         trainable_mask=None,
@@ -228,6 +229,7 @@ class Trainer:
             make_train_step(
                 model_apply, embed_fn, schedule, self.train_cfg,
                 self.optimizer, encode_fn,
+                encode_inside_grad=encode_inside_grad,
             ),
             donate_argnums=(0,),
         )
@@ -464,23 +466,36 @@ def for_sd_pipeline(
     attention_fine_tuning: bool = False,
     **kw,
 ) -> Trainer:
-    """SD fine-tune: UNet + class embedding trained over a FROZEN VAE
-    (reference train path, SURVEY.md §2a 'Training CLI' row).
+    """SD fine-tune: UNet + class embedding (+ optionally the VAE) over a
+    latent diffusion loss (reference train path, SURVEY.md §2a 'Training
+    CLI' row).
 
     ``attention_fine_tuning`` narrows the trainable UNet leaves to the
     Transformer2D blocks (reference ``train.py:202-220``: freeze the unet,
     re-enable its ``attentions``); the class embedding's trainability
-    stays governed by ``components_to_train``."""
+    stays governed by ``components_to_train``.
+
+    ``"autoencoder"`` in ``components_to_train`` trains the VAE through the
+    diffusion loss (reference ``src/args_parser.py:44-50`` choices,
+    ``train.py:188-199`` freeze logic, optimizer collection ``:268-271``):
+    the encode moves INSIDE the gradient.  Only the encoder + quant_conv
+    leaves unfreeze — in the reference the decoder is in the optimizer but
+    never receives a gradient from this loss (torch skips grad-None
+    params), so an explicit freeze is the exact same dynamics without
+    AdamW weight-decaying untrained leaves."""
     policy = Policy.from_mixed_precision(config.mixed_precision)
     from phendiff_tpu.models.sd_unet import SDUNet
 
     unet = SDUNet(pipe.unet_config, dtype=policy.compute_jnp, remat=config.remat)
-    vae_params = pipe.vae_params  # frozen, closed over
+    vae_params = pipe.vae_params  # closed over (frozen unless trained below)
+    train_vae = "autoencoder" in components_to_train
 
     params = {
         "unet": pipe.unet_params,
         "class_embedding": pipe.class_embedding_params,
     }
+    if train_vae:
+        params["vae"] = pipe.vae_params
 
     def model_apply(p, x, t, class_seq):
         return unet.apply(p["unet"], x, t, class_seq)
@@ -489,10 +504,14 @@ def for_sd_pipeline(
         emb = p["class_embedding"]["params"]["embedding"]["embedding"][labels]
         return pad_to_clip_sequence(emb)
 
-    def encode_fn(images, rng):
-        from phendiff_tpu.models.autoencoder_kl import encode_to_latents
+    from phendiff_tpu.models.autoencoder_kl import encode_to_latents
 
-        return encode_to_latents(pipe.vae, vae_params, images, rng)
+    if train_vae:
+        def encode_fn(p, images, rng):
+            return encode_to_latents(pipe.vae, p["vae"], images, rng)
+    else:
+        def encode_fn(images, rng):
+            return encode_to_latents(pipe.vae, vae_params, images, rng)
 
     # Jitted once with the EMA trees as traced arguments (see the DDIM
     # builder's note); replace_params inside the trace just rebinds the
@@ -502,6 +521,7 @@ def for_sd_pipeline(
         ema = pipe.replace_params(
             unet_params=ema_params["unet"],
             class_embedding_params=ema_params["class_embedding"],
+            vae_params=ema_params["vae"] if train_vae else None,
         )
         return ema.generate(
             labels, rng, num_inference_steps=num_inference_steps,
@@ -523,17 +543,39 @@ def for_sd_pipeline(
             class_embedding_params=jax.tree.map(
                 np.asarray, state.ema_params["class_embedding"]
             ),
+            vae_params=jax.tree.map(np.asarray, state.ema_params["vae"])
+            if train_vae else None,
         ).save_pretrained(dirpath)
 
-    # components_to_train → per-component freeze mask (reference naming:
-    # "denoiser" → unet, "class_embedding" → class embedding; the VAE is
-    # structurally frozen here — it is not in the trainable tree at all)
-    component_of = {"denoiser": "unet", "class_embedding": "class_embedding"}
+    # components_to_train → per-component freeze mask (reference naming,
+    # utils_misc.py:373-389: "denoiser" → unet, "class_embedding" → class
+    # embedding, "autoencoder" → vae; a VAE not being trained is not in the
+    # trainable tree at all)
+    component_of = {
+        "denoiser": "unet",
+        "class_embedding": "class_embedding",
+        "autoencoder": "vae",
+    }
+    unknown = [c for c in components_to_train if c not in component_of]
+    if unknown:
+        raise ValueError(
+            f"unknown components_to_train for the SD family: {unknown}; "
+            f"choose from {sorted(component_of)}"
+        )
     active = {component_of[c] for c in components_to_train}
     mask = {
         name: jax.tree.map(lambda _: name in active, sub)
         for name, sub in params.items()
     }
+    if train_vae:
+        # encoder-side leaves only (see the docstring: the reference's
+        # decoder never receives a gradient from the diffusion loss)
+        mask["vae"] = {
+            "params": {
+                k: jax.tree.map(lambda _: k in ("encoder", "quant_conv"), v)
+                for k, v in params["vae"]["params"].items()
+            }
+        }
     if attention_fine_tuning:
         if "denoiser" not in components_to_train:
             # same invariant as check_args / reference train.py:206-209
@@ -551,6 +593,7 @@ def for_sd_pipeline(
         generate_fn_builder=generate_fn_builder,
         save_pipeline_fn=save_pipeline_fn,
         encode_fn=encode_fn,
+        encode_inside_grad=train_vae,
         trainable_mask=mask,
         **kw,
     )

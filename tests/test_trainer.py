@@ -320,3 +320,54 @@ def test_eval_generation_compiles_once(tiny_image_root, paths):
     out2 = gen2(labels, rng, 2)
     assert gen2.jitted._cache_size() == n_compiles
     assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_sd_finetune_trains_vae_encoder(tiny_image_root, paths):
+    """VERDICT r3 #5b: 'autoencoder' in components_to_train trains the VAE
+    through the diffusion loss (encode inside the gradient) — encoder +
+    quant_conv leaves move; decoder / post_quant_conv stay bit-exact (the
+    reference's decoder never receives a gradient from this loss either,
+    train.py:188-199 + optimizer collection :268-271)."""
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    vae_before = jax.tree.map(np.asarray, pipe.vae_params)
+    cfg = make_config(tiny_image_root, paths, num_epochs=1)
+    trainer = for_sd_pipeline(
+        pipe, cfg, paths,
+        components_to_train=("denoiser", "class_embedding", "autoencoder"),
+    )
+    state = trainer.run()
+    vae_after = jax.tree.map(np.asarray, state.params["vae"])
+    for mod in ("encoder", "quant_conv"):
+        moved = any(
+            not np.array_equal(a, b)
+            for a, b in zip(
+                jax.tree.leaves(vae_before["params"][mod]),
+                jax.tree.leaves(vae_after["params"][mod]),
+            )
+        )
+        assert moved, f"vae {mod} should have trained"
+    for mod in ("decoder", "post_quant_conv"):
+        for a, b in zip(
+            jax.tree.leaves(vae_before["params"][mod]),
+            jax.tree.leaves(vae_after["params"][mod]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the saved pipeline carries the (EMA) VAE
+    trainer.save_pipeline_fn(state, paths.full_pipeline_save)
+    reloaded = SDImg2ImgPipeline.from_pretrained(paths.full_pipeline_save)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(reloaded.vae_params)[0]),
+        np.asarray(jax.tree.leaves(state.ema_params["vae"])[0]),
+        rtol=1e-6,
+    )
+
+
+def test_sd_rejects_unknown_component(tiny_image_root, paths):
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    cfg = make_config(tiny_image_root, paths)
+    with pytest.raises(ValueError, match="unknown components_to_train"):
+        for_sd_pipeline(pipe, cfg, paths, components_to_train=("vae",))
