@@ -169,11 +169,20 @@ def _make_segmented_transfer_fn(
                 guidance=GuidanceConfig(params.guidance_scale),
             )
         elif method == "linear_interp_custom_guidance_inverted_start":
-            raise NotImplementedError(
-                "the reconstruction-guided method differentiates through "
-                "the UNet at every step; its monolithic grad program does "
-                "not fit constrained compile transports at full width — "
-                "run it on a pipeline whose monolithic program compiles"
+            if pipeline_parallel and len(jax.devices()) > 1:
+                raise NotImplementedError(
+                    "the reconstruction-guided method is not supported "
+                    "under pipeline_parallel yet (the input-VJP chain "
+                    "runs single-chip); drop pipeline_parallel"
+                )
+            out = T.guided_inverted_start_stepwise(
+                denoiser,
+                lambda xx, tt, e: seg.forward_with_input_vjp(
+                    unet_params, xx, tt, e
+                ),
+                schedule, x, src_emb, tgt_emb,
+                guidance_loss_scale=params.guidance_loss_scale, p=params.p,
+                num_inference_steps=steps,
             )
         else:
             raise ValueError(f"unknown transfer method: {method}")

@@ -294,6 +294,146 @@ class SegmentedSDUNet:
         run("out", self._out, x)
         return total
 
+    # -- input VJP (reconstruction-guided transfer) --------------------------
+    def _ivjp_fn(self, key, mod, kind):
+        """Per-stage VJP w.r.t. the stage's ACTIVATION inputs only (params,
+        temb, ctx closed over as traced constants): roughly half the
+        backward FLOPs of the training chain's param+input VJPs — guidance
+        needs d(pred)/d(latent), never d(pred)/d(params)."""
+        jkey = f"ivjp:{key}"
+        if jkey not in self._jit:
+            if kind == "stem":
+                @jax.jit
+                def f(pslice, args, ct_x):
+                    sample, t = args
+                    _, vjp = jax.vjp(
+                        lambda s: mod.apply(pslice, s, t)[0], sample
+                    )
+                    (d_sample,) = vjp(ct_x)
+                    return d_sample
+            elif kind == "up":
+                @jax.jit
+                def f(pslice, args, ct_x):
+                    x, temb, ctx, skips = args
+                    _, vjp = jax.vjp(
+                        lambda xx, ss: mod.apply(pslice, xx, temb, ctx, ss),
+                        x, skips,
+                    )
+                    return vjp(ct_x)  # (d_x, d_skips)
+            elif kind == "down":
+                @jax.jit
+                def f(pslice, args, cts):
+                    x, temb, ctx = args
+                    _, vjp = jax.vjp(
+                        lambda xx: mod.apply(pslice, xx, temb, ctx), x
+                    )
+                    (d_x,) = vjp(cts)  # cts = (ct_x, outs_ct)
+                    return d_x
+            elif kind == "mid":
+                @jax.jit
+                def f(pslice, args, ct_x):
+                    x, temb, ctx = args
+                    _, vjp = jax.vjp(
+                        lambda xx: mod.apply(pslice, xx, temb, ctx), x
+                    )
+                    (d_x,) = vjp(ct_x)
+                    return d_x
+            else:  # out
+                @jax.jit
+                def f(pslice, args, ct):
+                    (x,) = args
+                    _, vjp = jax.vjp(lambda xx: mod.apply(pslice, xx), x)
+                    (d_x,) = vjp(ct)
+                    return d_x
+
+            self._jit[jkey] = f
+        return self._jit[jkey]
+
+    def forward_with_input_vjp(self, params, sample, timesteps,
+                               encoder_hidden_states):
+        """Forward pass + a ``vjp_fn(ct_pred) -> d_sample`` closure.
+
+        The latent-cotangent chain for reconstruction-guided transfer
+        (reference ``_custom_guided_generation``'s per-step
+        ``torch.autograd.grad`` w.r.t. the latents,
+        ``utils_Img2Img.py:701-760``) at widths whose monolithic grad
+        program exceeds constrained compile transports: cotangents walk the
+        stage programs out → up* → mid → down* → stem with the same skip
+        routing as the training chain (train/segmented_train.py), but only
+        activation inputs are differentiated.  temb/ctx cotangents are
+        never materialized — neither depends on the latent, so they
+        contribute nothing to d_sample."""
+        cfg = self.cfg
+        L = cfg.layers_per_block
+        n = len(cfg.block_out_channels)
+        ctx = encoder_hidden_states.astype(self.dtype)
+        timesteps = jnp.asarray(timesteps)
+
+        args_of = {}
+        x, temb = self._stage("stem", self._stem)(
+            _slice(params, self._names("stem")), sample, timesteps
+        )
+        skips = [x]
+        down_out_count = {}
+        for i, mod in enumerate(self._down):
+            key = f"down:{i}"
+            args_of[key] = (x, temb, ctx)
+            x, outs = self._stage(key, mod)(
+                _slice(params, self._names(key)), x, temb, ctx
+            )
+            skips.extend(outs)
+            down_out_count[key] = len(outs)
+        args_of["mid"] = (x, temb, ctx)
+        x = self._stage("mid", self._mid)(
+            _slice(params, self._names("mid")), x, temb, ctx
+        )
+        for i, mod in enumerate(self._up):
+            key = f"up:{i}"
+            cons = tuple(skips.pop() for _ in range(L + 1))
+            args_of[key] = (x, temb, ctx, cons)
+            x = self._stage(key, mod)(
+                _slice(params, self._names(key)), x, temb, ctx, cons
+            )
+        assert not skips
+        args_of["out"] = (x,)
+        pred_raw = self._stage("out", self._out)(
+            _slice(params, self._names("out")), x
+        )
+
+        def vjp_fn(ct_pred):
+            ct = ct_pred.astype(pred_raw.dtype)
+            ct_x = self._ivjp_fn("out", self._out, "out")(
+                _slice(params, self._names("out")), args_of["out"], ct
+            )
+            skip_cts = []
+            for i in reversed(range(n)):
+                key = f"up:{i}"
+                ct_x, d_skips = self._ivjp_fn(key, self._up[i], "up")(
+                    _slice(params, self._names(key)), args_of[key], ct_x
+                )
+                # same stack-order bookkeeping as the training chain
+                skip_cts = skip_cts + list(reversed(d_skips))
+            ct_x = self._ivjp_fn("mid", self._mid, "mid")(
+                _slice(params, self._names("mid")), args_of["mid"], ct_x
+            )
+            for i in reversed(range(n)):
+                key = f"down:{i}"
+                cnt = down_out_count[key]
+                outs_ct = skip_cts[-cnt:]
+                skip_cts = skip_cts[:-cnt]
+                ct_x = self._ivjp_fn(key, self._down[i], "down")(
+                    _slice(params, self._names(key)), args_of[key],
+                    (ct_x, outs_ct),
+                )
+            (stem_skip_ct,) = skip_cts
+            d_sample = self._ivjp_fn("stem", self._stem, "stem")(
+                _slice(params, self._names("stem")), (sample, timesteps),
+                ct_x + stem_skip_ct,
+            )
+            return d_sample.astype(ct_pred.dtype)
+
+        return pred_raw.astype(sample.dtype), vjp_fn
+
     def __call__(self, params, sample, timesteps, encoder_hidden_states):
         cfg = self.cfg
         ctx = encoder_hidden_states.astype(self.dtype)

@@ -267,6 +267,106 @@ def guided_inverted_start(
     )
 
 
+# -- segmented (host-driven) reconstruction-guided transfer -----------------
+
+# Module-level jits so caches survive across calls (cf. _ddib_update).
+@functools.partial(jax.jit, static_argnames=("p",))
+def _guided_head(schedule, model_out, x, t, start, p):
+    """Loss head of the guided step, split from the UNet: returns the loss
+    and its cotangents w.r.t. (model_out, x-direct).  The total latent
+    gradient is ``d_x_direct + unet_input_vjp(d_model_out)`` — exactly the
+    monolithic ``custom_guided_generation``'s ``jax.value_and_grad`` chain,
+    decomposed at the UNet boundary."""
+
+    def head(mo, xx):
+        x0, _ = S.predict_x0_eps(schedule, mo, t, xx)
+        x0 = S._maybe_clip_x0(schedule, x0)
+        return jnp.sum(lp_loss(x0, start, p))
+
+    loss, (d_mo, d_x) = jax.value_and_grad(head, argnums=(0, 1))(model_out, x)
+    return loss, d_mo, d_x
+
+
+@jax.jit
+def _guided_apply(schedule, x, d_x, scale, model_out, t, t_prev):
+    x = x - scale * d_x
+    return S.ddim_step(schedule, model_out, t, t_prev, x)
+
+
+@jax.jit
+def _invert_update(schedule, model_out, t, t_next, x):
+    return S.ddim_inverse_step(schedule, model_out, t, t_next, x)
+
+
+def custom_guided_generation_stepwise(
+    fwd_vjp: Callable,  # (x, t[B], emb) -> (model_out, vjp_fn: ct -> d_x)
+    schedule: S.NoiseSchedule,
+    start_latents: Array,
+    target_emb: Array,
+    *,
+    guidance_loss_scale: float = 1e-3,
+    p: float = 2.0,
+    num_inference_steps: int = 100,
+) -> Array:
+    """``custom_guided_generation`` with a host-driven step loop over a
+    forward+input-VJP callable instead of ``jax.grad`` inside one scan —
+    for denoisers whose monolithic grad program exceeds constrained
+    compile transports (the full-width SD-2.1 segmented route,
+    ``SegmentedSDUNet.forward_with_input_vjp``).  Trajectory-identical to
+    the scan version (tests/test_comparison_sd.py)."""
+    ts, t_prev = S.timestep_pairs(schedule.config, num_inference_steps)
+    b = start_latents.shape[0]
+    scale = jnp.asarray(guidance_loss_scale, jnp.float32)
+    x = start_latents.astype(jnp.float32)
+    for te, tp in zip(ts, t_prev):
+        t_b = jnp.full((b,), int(te), jnp.int32)
+        model_out, vjp_fn = fwd_vjp(x, t_b, target_emb)
+        _, d_mo, d_x_direct = _guided_head(
+            schedule, model_out, x, jnp.asarray(int(te)), start_latents, p
+        )
+        d_x = d_x_direct + vjp_fn(d_mo)
+        x = _guided_apply(
+            schedule, x, d_x, scale, model_out,
+            jnp.asarray(int(te)), jnp.asarray(int(tp)),
+        )
+    return x
+
+
+def guided_inverted_start_stepwise(
+    denoiser: cd.DenoiserFn,
+    fwd_vjp: Callable,
+    schedule: S.NoiseSchedule,
+    images: Array,
+    source_emb: Array,
+    target_emb: Array,
+    *,
+    guidance_loss_scale: float = 1e-3,
+    p: float = 2.0,
+    num_inference_steps: int = 100,
+) -> Array:
+    """``guided_inverted_start`` on the segmented route: host-driven DDIM
+    inversion (source class) then reconstruction-guided generation (target
+    class) through per-stage forward/input-VJP programs — the full-width
+    version of the reference's batch-96-on-A100 guided method
+    (``utils_Img2Img.py:651-760``; capacity fact
+    ``examples/example_img2img_comparison_conf/batch_size/a100-80gb.yaml:2``)."""
+    inv_t, inv_next = S.inversion_timestep_pairs(
+        schedule.config, num_inference_steps
+    )
+    b = images.shape[0]
+    x = images.astype(jnp.float32)
+    for te, tn in zip(inv_t, inv_next):
+        out = denoiser(x, jnp.full((b,), max(int(te), 0), jnp.int32), source_emb)
+        x = _invert_update(
+            schedule, out, jnp.asarray(int(te)), jnp.asarray(int(tn)), x
+        )
+    return custom_guided_generation_stepwise(
+        fwd_vjp, schedule, x, target_emb,
+        guidance_loss_scale=guidance_loss_scale, p=p,
+        num_inference_steps=num_inference_steps,
+    )
+
+
 def check_gaussianity(latents: Array) -> dict:
     """Moment-based normality diagnostics of inverted latents (the reference
     runs a scipy normaltest, ``utils_Img2Img.py:79-93``); returns mean/std/

@@ -148,3 +148,47 @@ def test_sd_transfer_methods_through_engine(
 
     with Image.open(outs[0]) as im:
         assert im.size == (32, 32)
+
+
+def test_segmented_guided_matches_monolithic(tiny_image_root, tmp_path):
+    """VERDICT r3 #4: the reconstruction-guided method on the SEGMENTED
+    route (per-stage forward + input-VJP chain,
+    SegmentedSDUNet.forward_with_input_vjp) reproduces the monolithic
+    jax.grad route pixel-for-pixel."""
+    from PIL import Image
+
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE,
+        SchedulerConfig(num_train_timesteps=20, clip_sample=False),
+        num_classes=2, class_embedding_dim=16, seed=0,
+    )
+    pipe_dir = tmp_path / "sd_pipe"
+    pipe.save_pretrained(str(pipe_dir))
+    method = "linear_interp_custom_guidance_inverted_start"
+
+    outs = {}
+    for route, seg_flag in (("mono", False), ("seg", True)):
+        cfg = ComparisonConfig(
+            output_dir=str(tmp_path / route),
+            pipelines={"sd": str(pipe_dir)},
+            dataset_train=str(tiny_image_root),
+            definition=(32, 32),
+            methods=(method,),
+            method_params={
+                method: MethodParams(batch_size=8, guidance_loss_scale=1e-2)
+            },
+            num_inference_steps=3,
+            metrics=MetricsConfig(fid=False, isc=False, kid=False),
+            debug=True,
+            segmented_sd=seg_flag,
+        )
+        ComparisonExperiment(cfg).run_transfers()
+        outs[route] = sorted(
+            p for p in (tmp_path / route).rglob("*_to_*.png")
+        )
+    assert len(outs["mono"]) == len(outs["seg"]) > 0
+    for a, b in zip(outs["mono"], outs["seg"]):
+        with Image.open(a) as ia, Image.open(b) as ib:
+            pa, pb = np.asarray(ia), np.asarray(ib)
+        # identical math, different program boundaries → allow ±1 quantum
+        assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1

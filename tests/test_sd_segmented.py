@@ -69,3 +69,29 @@ def test_segmented_missing_params_fail_loudly():
     except Exception:
         return
     raise AssertionError("expected a loud failure on missing param subtrees")
+
+
+def test_input_vjp_matches_monolithic_grad():
+    """forward_with_input_vjp's latent cotangent equals jax.grad of the
+    monolithic module w.r.t. the INPUT (VERDICT r3 #4's chain), for a
+    generic scalar readout."""
+    model = SDUNet(CFG, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = jax.random.normal(jax.random.key(1), (2, 77, 16)) * 0.1
+    params = model.init(jax.random.key(2), x, t, ctx)
+    w = jax.random.normal(jax.random.key(3), x.shape)  # generic cotangent
+
+    want_out, want_vjp = jax.vjp(lambda xx: model.apply(params, xx, t, ctx), x)
+    (want_dx,) = want_vjp(w)
+
+    seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+    got_out, vjp_fn = seg.forward_with_input_vjp(params, x, t, ctx)
+    got_dx = vjp_fn(w)
+
+    np.testing.assert_allclose(
+        np.asarray(got_out), np.asarray(want_out), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_dx), np.asarray(want_dx), rtol=5e-4, atol=1e-5
+    )
