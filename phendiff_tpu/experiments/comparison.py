@@ -263,9 +263,17 @@ def _save_batch(
 
 
 class ComparisonExperiment:
-    def __init__(self, config: ComparisonConfig, tracker=None):
+    def __init__(self, config: ComparisonConfig, tracker=None, devices=None):
+        from phendiff_tpu.parallel import make_mesh
+
         self.config = config
         self.tracker = tracker
+        # Transfer batches ride the data axis of the device mesh — the
+        # TPU-native version of the reference sharding its comparison
+        # inference across ranks (accelerator.prepare(dataloader) +
+        # prepare_model(unet, evaluation_mode=True),
+        # utils_Img2Img.py:316-317).  ``devices`` narrows the mesh (tests).
+        self.mesh = make_mesh(devices)
         self.pipes = {
             name: self._load_pipeline(path)
             for name, path in config.pipelines.items()
@@ -301,6 +309,29 @@ class ComparisonExperiment:
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(pipe.unet_params))
         return n > _SEGMENTED_AUTO_PARAMS
 
+    def _shard(self, images, src, tgt, enabled=True):
+        """Pad a (possibly ragged-tail) batch to the mesh's data-axis size
+        by repeating the last row, and place it batch-sharded on the mesh;
+        returns device arrays + the real (untrimmed) count.
+
+        ``enabled=False`` (the pipeline-parallel route) skips sharding:
+        there the devices hold pipeline STAGES, not batch shards, and the
+        executor moves activations stage-to-stage itself."""
+        n_real = images.shape[0]
+        if not enabled:
+            return (jnp.asarray(images), jnp.asarray(src),
+                    jnp.asarray(tgt)), n_real
+        from phendiff_tpu.parallel import shard_batch
+        from phendiff_tpu.parallel.mesh import DATA_AXIS
+
+        dp = int(self.mesh.shape[DATA_AXIS])
+        pad = (-n_real) % dp
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+            src = np.concatenate([src, np.repeat(src[-1:], pad)])
+            tgt = np.concatenate([tgt, np.repeat(tgt[-1:], pad)])
+        return shard_batch(self.mesh, (images, src, tgt)), n_real
+
     # -- transfers ---------------------------------------------------------
     def run_transfers(self) -> None:
         cfg = self.config
@@ -308,10 +339,15 @@ class ComparisonExperiment:
         for method in cfg.methods:
             params = cfg.method_params.get(method, MethodParams())
             for pipe_name, pipe in self.pipes.items():
+                segmented = self._use_segmented(pipe)
                 fn = _make_transfer_fn(
                     pipe, method, params, cfg.num_inference_steps,
-                    segmented=self._use_segmented(pipe),
+                    segmented=segmented,
                     pipeline_parallel=cfg.pipeline_parallel,
+                )
+                data_parallel = not (
+                    segmented and cfg.pipeline_parallel
+                    and len(jax.devices()) > 1
                 )
                 for split_name, index in self.splits.items():
                     out_dir = os.path.join(
@@ -331,11 +367,16 @@ class ComparisonExperiment:
                         tgt = (1 - src).astype(np.int32)  # binary-class flip
                         basenames = [index.paths[i] for i in idxs]
                         rng, sub = jax.random.split(rng)
-                        out = fn(jnp.asarray(images), jnp.asarray(src),
-                                 jnp.asarray(tgt), sub)
+                        # batch-sharded over the mesh's data axis; the pad
+                        # rows are trimmed right below (milestone 5's
+                        # sharded batched img2img comparison)
+                        (im_d, src_d, tgt_d), n_real = self._shard(
+                            images, src, tgt, enabled=data_parallel
+                        )
+                        out = fn(im_d, src_d, tgt_d, sub)
+                        out01 = np.asarray(to_images(out))[:n_real]
                         _save_batch(
-                            np.asarray(to_images(out)), basenames, tgt,
-                            index.classes, out_dir,
+                            out01, basenames, tgt, index.classes, out_dir,
                         )
                         if start == 0:
                             # first-batch orig/transferred pairs panel
@@ -343,7 +384,7 @@ class ComparisonExperiment:
                             from phendiff_tpu.obs.images import side_by_side
 
                             panel = side_by_side(
-                                images[:8], np.asarray(out[:8])
+                                images[:8], np.asarray(out)[:n_real][:8]
                             )
                             panel.save(os.path.join(out_dir, "_pairs.png"))
                         if cfg.debug:
