@@ -25,8 +25,11 @@ consumption time.
 
 This executor is forward-only (inference/eval/transfer — the headline
 DDIB workload is 2·K forwards).  Pipeline-parallel *training* composes
-the same placement with `train/segmented_train.py`'s per-stage VJP chain;
-see that module.
+the same placement with `train/segmented_train.py`'s per-stage VJP chain:
+pass ``device_of=stage_devices(stage_keys(cfg), devices)`` to
+``SegmentedSDTrainStep`` and place the state with its ``place_params`` —
+gradients equal the single-device chain exactly
+(tests/test_pp.py::test_pp_training_composes_with_vjp_chain).
 """
 
 from __future__ import annotations

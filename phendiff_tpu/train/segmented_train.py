@@ -162,10 +162,21 @@ class SegmentedSDTrainStep:
                  ema: Optional[EMAConfig] = None,
                  max_grad_norm: Optional[float] = None,
                  clip_mode: str = "cache",
-                 ctx_module: Optional[nn.Module] = None):
+                 ctx_module: Optional[nn.Module] = None,
+                 device_of: Optional[Dict[str, Any]] = None):
+        """``device_of`` (stage key → jax.Device) turns the chain into
+        PIPELINE-PARALLEL training: each stage's params/optimizer/EMA are
+        resident on its device (``parallel/pp.py``'s placement), and
+        activations (forward) / cotangents (backward) move device-to-device
+        at stage boundaries — jit outputs are committed arrays, so every
+        boundary is an explicit transfer, exactly like the forward-only
+        ``PipelinedSDUNet``.  Scheduling stays JAX async dispatch.  The
+        ``ctx`` stage and the scalar clip/norm reductions live on the
+        stem's device.  None (default) = single-chip, unchanged."""
         check_per_leaf_optimizer(optimizer)
         if clip_mode not in ("cache", "recompute"):
             raise ValueError(f"unknown clip_mode: {clip_mode!r}")
+        self.device_of = device_of
         self.seg = seg
         self.schedule = schedule
         self.optimizer = optimizer
@@ -302,6 +313,49 @@ class SegmentedSDTrainStep:
 
             self._ctx_vjp = _ctx_vjp
 
+    # -- pipeline placement ---------------------------------------------------
+    def _dev(self, key):
+        if not self.device_of:
+            return None
+        if key == "ctx":  # tiny; rides with the stem (common device)
+            return self.device_of.get("ctx", self.device_of.get("stem"))
+        return self.device_of.get(key)
+
+    @property
+    def _common_dev(self):
+        """Device for cross-stage scalar reductions (grad-norm, clip)."""
+        return self.device_of.get("stem") if self.device_of else None
+
+    @staticmethod
+    def _put_leaf(dev, a):
+        if dev is None:
+            return a
+        if isinstance(a, jax.Array) and a.committed and a.devices() == {dev}:
+            return a
+        return jax.device_put(a, dev)
+
+    def _to(self, key, *arrays):
+        """Move arrays (or pytrees) onto ``key``'s stage device (no-op when
+        unplaced); single argument returns unwrapped."""
+        dev = self._dev(key)
+        out = tuple(
+            jax.tree.map(lambda x: self._put_leaf(dev, x), a) for a in arrays
+        )
+        return out[0] if len(out) == 1 else out
+
+    def place_params(self, params):
+        """Commit each stage's parameter slice to its pipeline device
+        (merged-tree layout in, merged-tree layout out)."""
+        if not self.device_of:
+            return params
+        p = dict(params["params"])
+        for key, _ in self._stages:
+            dev = self._dev(key)
+            for name in self._names(key):
+                if name in p and dev is not None:
+                    p[name] = jax.device_put(p[name], dev)
+        return {"params": p}
+
     # -- per-stage programs -------------------------------------------------
     def _fwd_fn(self, key):
         # shares SegmentedSDUNet's jit cache: eval/transfer and training
@@ -330,7 +384,8 @@ class SegmentedSDTrainStep:
         accumulated cotangent of the MASKED conditioning sequence."""
         n = len(self.seg.cfg.block_out_channels)
         gp, ct_x = self._vjp_fn("out")(
-            _slice(params, self._names("out")), args_of["out"], ct
+            _slice(params, self._names("out")), args_of["out"],
+            self._to("out", ct),
         )
         on_stage("out", gp["params"])
 
@@ -344,41 +399,48 @@ class SegmentedSDTrainStep:
         for i in reversed(range(n)):
             key = f"up:{i}"
             gp, ct_x, d_temb, d_ctx, d_skips = self._vjp_fn(key)(
-                _slice(params, self._names(key)), args_of[key], ct_x
+                _slice(params, self._names(key)), args_of[key],
+                self._to(key, ct_x),
             )
             on_stage(key, gp["params"])
-            ct_temb = acc(ct_temb, d_temb)
-            ct_ctx = acc(ct_ctx, d_ctx)
+            # embedding cotangents accumulate on their consumers' devices
+            # (temb → stem, ctx → the ctx stage) so the eager adds and the
+            # final VJPs see device-consistent operands
+            ct_temb = acc(ct_temb, self._to("stem", d_temb))
+            ct_ctx = acc(ct_ctx, self._to("ctx", d_ctx))
             # cons was popped off the stack top, so reversed(d_skips) is in
             # stack order; processing up stages last-to-first walks the
             # stack bottom-up — append to rebuild bottom→top order
             skip_cts = skip_cts + list(reversed(d_skips))
 
         gp, ct_x, d_temb, d_ctx = self._vjp_fn("mid")(
-            _slice(params, self._names("mid")), args_of["mid"], ct_x
+            _slice(params, self._names("mid")), args_of["mid"],
+            self._to("mid", ct_x),
         )
         on_stage("mid", gp["params"])
-        ct_temb = acc(ct_temb, d_temb)
-        ct_ctx = acc(ct_ctx, d_ctx)
+        ct_temb = acc(ct_temb, self._to("stem", d_temb))
+        ct_ctx = acc(ct_ctx, self._to("ctx", d_ctx))
 
         for i in reversed(range(n)):
             key = f"down:{i}"
             cnt = down_out_count[key]
-            outs_ct = skip_cts[-cnt:]
+            outs_ct = [self._to(key, c) for c in skip_cts[-cnt:]]
             skip_cts = skip_cts[:-cnt]
             gp, d_x, d_temb, d_ctx = self._vjp_fn(key)(
                 _slice(params, self._names(key)), args_of[key],
-                (ct_x, outs_ct),
+                (self._to(key, ct_x), outs_ct),
             )
             on_stage(key, gp["params"])
             ct_x = d_x
-            ct_temb = acc(ct_temb, d_temb)
-            ct_ctx = acc(ct_ctx, d_ctx)
+            ct_temb = acc(ct_temb, self._to("stem", d_temb))
+            ct_ctx = acc(ct_ctx, self._to("ctx", d_ctx))
 
         # the single remaining slot is conv_in's output consumed as the
         # deepest up-stage skip
         (stem_skip_ct,) = skip_cts
-        ct_x = self._add(ct_x, stem_skip_ct)
+        ct_x = self._add(
+            self._to("stem", ct_x), self._to("stem", stem_skip_ct)
+        )
         gp, _d_sample, _d_t = self._vjp_fn("stem")(
             _slice(params, self._names("stem")), (noisy, t), (ct_x, ct_temb)
         )
@@ -397,6 +459,11 @@ class SegmentedSDTrainStep:
         L = cfg.layers_per_block
         n = len(cfg.block_out_channels)
         noisy, target, weight, t, keep = self._prepare(latents, rng)
+        # pipeline placement: each stage's jit outputs are committed, so
+        # every stage boundary is an explicit transfer (no-ops unplaced)
+        noisy, t = self._to("stem", noisy), self._to("stem", t)
+        target, weight = self._to("out", target), self._to("out", weight)
+        keep = self._to("ctx", keep)
 
         if self.ctx_module is not None:
             labels = cond
@@ -404,7 +471,7 @@ class SegmentedSDTrainStep:
                 _slice(params, self._names("ctx")), labels
             )
         else:
-            ctx_raw = cond
+            ctx_raw = self._to("ctx", cond)
         ctx = self._mask_ctx(ctx_raw, keep)
 
         # ---- forward, recording each stage's inputs -----------------------
@@ -416,24 +483,30 @@ class SegmentedSDTrainStep:
         down_out_count: Dict[str, int] = {}
         for i in range(n):
             key = f"down:{i}"
-            args_of[key] = (x, temb, ctx)
+            args_of[key] = self._to(key, x, temb, ctx)
             x, outs = self._fwd_fn(key)(
-                _slice(params, seg._names(key)), x, temb, ctx
+                _slice(params, seg._names(key)), *args_of[key]
             )
             skips.extend(outs)
             down_out_count[key] = len(outs)
-        args_of["mid"] = (x, temb, ctx)
-        x = self._fwd_fn("mid")(_slice(params, seg._names("mid")), x, temb, ctx)
+        args_of["mid"] = self._to("mid", x, temb, ctx)
+        x = self._fwd_fn("mid")(
+            _slice(params, seg._names("mid")), *args_of["mid"]
+        )
         for i in range(n):
             key = f"up:{i}"
-            cons = tuple(skips.pop() for _ in range(L + 1))
-            args_of[key] = (x, temb, ctx, cons)
+            cons = tuple(
+                self._to(key, skips.pop()) for _ in range(L + 1)
+            )
+            args_of[key] = self._to(key, x, temb, ctx) + (cons,)
             x = self._fwd_fn(key)(
-                _slice(params, seg._names(key)), x, temb, ctx, cons
+                _slice(params, seg._names(key)), *args_of[key]
             )
         assert not skips
-        args_of["out"] = (x,)
-        pred = self._fwd_fn("out")(_slice(params, seg._names("out")), x)
+        args_of["out"] = (self._to("out", x),)
+        pred = self._fwd_fn("out")(
+            _slice(params, seg._names("out")), *args_of["out"]
+        )
 
         loss, ct = self._loss_head(pred, target, weight)
 
@@ -453,7 +526,9 @@ class SegmentedSDTrainStep:
             # live).  Safe: a stage's params/EMA are last READ by its own
             # VJP, which runs before on_stage fires.
             apply_fn = self._apply_stage_d if donate else self._apply_stage
-            upd, st = apply_fn(pslice, opt_state[key], grads, scale)
+            upd, st = apply_fn(
+                pslice, opt_state[key], grads, self._to(key, scale)
+            )
             new_params.update(upd)
             new_opt[key] = st
             if ema_params is not None:
@@ -468,10 +543,14 @@ class SegmentedSDTrainStep:
                 opt_state.pop(key, None)
 
         sq_total = jnp.zeros((), jnp.float32)
+        common = self._common_dev
 
         def add_sq(grads):
             nonlocal sq_total
-            sq_total = self._add(sq_total, self._sq_norm(grads))
+            sq = self._sq_norm(grads)
+            if common is not None:
+                sq = self._put_leaf(common, sq)
+            sq_total = self._add(sq_total, sq)
 
         ctx_grad_out = None
         if self.max_grad_norm is None:
@@ -537,7 +616,8 @@ class SegmentedSDTrainStep:
                 apply_stage(key, grads, ones)
 
             ct_ctx = self._run_backward(
-                params, args_of, noisy, t, self._scale_ct(ct, scale),
+                params, args_of, noisy, t,
+                self._scale_ct(ct, self._to("out", scale)),
                 down_out_count, run,
             )
             if self.ctx_module is not None:
