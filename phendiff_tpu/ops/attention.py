@@ -33,6 +33,39 @@ _PALLAS_MIN_SEQ = 1024
 # Global override: "auto" (default), "xla", or "pallas".
 _IMPL_ENV = "PHENDIFF_ATTN_IMPL"
 
+# Tensor-parallel context: when a mesh is registered (Trainer does this for
+# model_parallel > 1), the fused kernel runs under shard_map — heads over
+# the model axis, batch over the data axis.  Heads are embarrassingly
+# parallel, so the per-device kernel needs NO communication; GSPMD inserts
+# whatever resharding the surrounding program requires at the shard_map
+# boundary.  Without this, a pallas_call has no GSPMD partitioning rule and
+# TP programs had to fall back to the ~2.7x-slower XLA attention
+# (docs/BENCHMARKS.md r2 ablation).
+_TP_STATE = {"mesh": None}
+
+
+def set_tp_mesh(mesh) -> None:
+    """Register (or clear, with None) the mesh for tensor-parallel programs."""
+    _TP_STATE["mesh"] = mesh
+
+
+def _tp_shard_spec(mesh, q):
+    """(in/out PartitionSpec) for [B,S,H,D] under the registered mesh, or
+    None when the shapes don't divide (caller falls back to XLA)."""
+    from jax.sharding import PartitionSpec as P
+
+    from phendiff_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    b, _, h, _ = q.shape
+    dp = mesh.shape.get(DATA_AXIS, 1)
+    tp = mesh.shape.get(MODEL_AXIS, 1)
+    if b % dp or h % tp:
+        return None
+    return P(
+        DATA_AXIS if dp > 1 else None, None,
+        MODEL_AXIS if tp > 1 else None, None,
+    )
+
 
 def _on_tpu() -> bool:
     try:
@@ -106,5 +139,21 @@ def multi_head_attention(
     if implementation == "pallas":
         from phendiff_tpu.ops.flash_attention import flash_attention
 
+        mesh = _TP_STATE["mesh"]
+        if mesh is not None:
+            spec = _tp_shard_spec(mesh, q)
+            if spec is None:  # non-dividing shapes: XLA handles any sharding
+                return attention_xla(q, k, v, scale=scale)
+            from jax.experimental.shard_map import shard_map
+
+            kw = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+            body = functools.partial(flash_attention, scale=scale)
+            try:
+                # pallas_call carries no varying-mesh-axes metadata; the
+                # specs above ARE the replication statement
+                f = shard_map(body, check_vma=False, **kw)
+            except TypeError:  # older jax spelling
+                f = shard_map(body, check_rep=False, **kw)
+            return f(q, k, v)
         return flash_attention(q, k, v, scale=scale)
     raise ValueError(f"unknown attention implementation: {implementation}")

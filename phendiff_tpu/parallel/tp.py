@@ -36,11 +36,12 @@ steer communication volume).
 
 Caveats, documented rather than hidden:
 
-* the fused Pallas attention kernel has no GSPMD partitioning rule — run
-  tensor-parallel programs with the XLA attention path
-  (``PHENDIFF_ATTN_IMPL=xla``; heads are embarrassingly parallel so a
-  ``shard_map`` wrapper is the natural follow-up if the kernel matters
-  at TP scale);
+* a bare pallas_call has no GSPMD partitioning rule, so the fused
+  attention kernel runs under ``shard_map`` in tensor-parallel programs
+  (heads over the model axis, batch over data — no collectives; see
+  ``ops/attention.set_tp_mesh``, registered automatically by the
+  Trainer).  Shapes that don't divide the mesh fall back to XLA
+  attention, which partitions under any sharding;
 * ``CondUNet2D``'s fused ``qkv`` emits q|k|v concatenated, so its column
   shards straddle the q/k/v split points and GSPMD reshards around
   ``jnp.split`` — the SD UNet (separate ``to_q/to_k/to_v``) has no such

@@ -203,15 +203,18 @@ class Trainer:
         # num_processes): model-axis devices hold shards of ONE replica.
         dp_size = int(self.mesh.shape[DATA_AXIS])
         if config.model_parallel > 1:
-            # the fused Pallas attention kernel has no GSPMD partitioning
-            # rule (parallel/tp.py docstring): run TP programs on the XLA
-            # attention path unless the user forced otherwise
-            os.environ.setdefault("PHENDIFF_ATTN_IMPL", "xla")
+            # register the mesh so the fused Pallas attention runs under
+            # shard_map (heads over the model axis — embarrassingly
+            # parallel, no collectives); a bare pallas_call has no GSPMD
+            # partitioning rule, and the XLA-attention fallback costs ~2.7x
+            # (docs/BENCHMARKS.md r2 ablation)
+            from phendiff_tpu.ops.attention import set_tp_mesh
+
+            set_tp_mesh(self.mesh)
             logging.getLogger(__name__).info(
                 "tensor parallelism model=%d over %d devices (data=%d); "
-                "attention impl: %s",
+                "fused attention via shard_map over the mesh",
                 config.model_parallel, self.mesh.devices.size, dp_size,
-                os.environ["PHENDIFF_ATTN_IMPL"],
             )
 
         # lr × sqrt(world size), as the reference does across DDP ranks

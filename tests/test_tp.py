@@ -279,3 +279,56 @@ def test_shard_params_places_on_model_axis():
 
     n = count_sharded(sp)
     assert n >= 10, f"expected >=10 model-sharded leaves, got {n}"
+
+
+# ----------------------------------------------- fused attention under TP --
+def test_tp_pallas_attention_shard_map_matches_single_device():
+    """VERDICT r3 #6: with a registered TP mesh the fused Pallas kernel
+    runs under shard_map (heads on the model axis, batch on data) instead
+    of falling back to XLA attention — forward AND gradient equal the
+    single-device kernel."""
+    import os
+
+    os.environ["PHENDIFF_PALLAS_INTERPRET"] = "1"  # CPU test mode
+    from phendiff_tpu.ops import attention as A
+    from phendiff_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 4, 16, 4, 8
+    q = jax.random.normal(jax.random.key(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.key(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.key(2), (b, s, h, d))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(flash_attention(q, k, v)))
+
+    ref = flash_attention(q, k, v)
+    gref = jax.grad(loss_ref)(q, k, v)
+
+    mesh = tp_mesh(4)  # data=2 x model=4; h=4 divides model, b=4 divides data
+    A.set_tp_mesh(mesh)
+    try:
+        out = jax.jit(
+            lambda q, k, v: A.multi_head_attention(
+                q, k, v, implementation="pallas"
+            )
+        )(q, k, v)
+        _allclose(out, ref)
+
+        def loss_tp(q, k, v):
+            return jnp.sum(jnp.square(A.multi_head_attention(
+                q, k, v, implementation="pallas"
+            )))
+
+        gtp = jax.jit(jax.grad(loss_tp))(q, k, v)
+        _allclose(gtp, gref)
+
+        # non-dividing heads (h=3) fall back to XLA, still correct
+        q3, k3, v3 = q[:, :, :3], k[:, :, :3], v[:, :, :3]
+        out3 = jax.jit(
+            lambda q, k, v: A.multi_head_attention(
+                q, k, v, implementation="pallas"
+            )
+        )(q3, k3, v3)
+        _allclose(out3, A.attention_xla(q3, k3, v3))
+    finally:
+        A.set_tp_mesh(None)
