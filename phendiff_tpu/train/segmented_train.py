@@ -163,7 +163,8 @@ class SegmentedSDTrainStep:
                  max_grad_norm: Optional[float] = None,
                  clip_mode: str = "cache",
                  ctx_module: Optional[nn.Module] = None,
-                 device_of: Optional[Dict[str, Any]] = None):
+                 device_of: Optional[Dict[str, Any]] = None,
+                 cache_dtype: Optional[Any] = None):
         """``device_of`` (stage key → jax.Device) turns the chain into
         PIPELINE-PARALLEL training: each stage's params/optimizer/EMA are
         resident on its device (``parallel/pp.py``'s placement), and
@@ -172,7 +173,16 @@ class SegmentedSDTrainStep:
         boundary is an explicit transfer, exactly like the forward-only
         ``PipelinedSDUNet``.  Scheduling stays JAX async dispatch.  The
         ``ctx`` stage and the scalar clip/norm reductions live on the
-        stem's device.  None (default) = single-chip, unchanged."""
+        stem's device.  None (default) = single-chip, unchanged.
+
+        ``cache_dtype`` (``clip_mode="cache"`` only): dtype of the cached
+        per-stage gradients between the backward chain and the clip-scaled
+        apply.  ``jnp.bfloat16`` halves the cache (≈1.75 GB instead of 3.5
+        at full width — enough headroom to prefer the single-backward
+        "cache" mode over the 2x-backward "recompute" on a 16 GB chip,
+        VERDICT r3 #2).  The global norm is still computed on the exact
+        f32 gradients BEFORE the cast; only the cached values round.  None
+        (default) keeps the cache exact."""
         check_per_leaf_optimizer(optimizer)
         if clip_mode not in ("cache", "recompute"):
             raise ValueError(f"unknown clip_mode: {clip_mode!r}")
@@ -184,7 +194,16 @@ class SegmentedSDTrainStep:
         self.ema_config = ema
         self.max_grad_norm = max_grad_norm
         self.clip_mode = clip_mode
+        self.cache_dtype = cache_dtype
         self.ctx_module = ctx_module
+        if cache_dtype is not None and clip_mode != "cache":
+            raise ValueError("cache_dtype only applies to clip_mode='cache'")
+        self._to_cache = (
+            jax.jit(lambda g: jax.tree.map(
+                lambda x: x.astype(cache_dtype), g
+            ))
+            if cache_dtype is not None else (lambda g: g)
+        )
         self._vjp: Dict[str, Any] = {}
         cfg = seg.cfg
         n = len(cfg.block_out_channels)
@@ -577,8 +596,8 @@ class SegmentedSDTrainStep:
             cache: Dict[str, Any] = {}
 
             def collect(key, grads):
-                add_sq(grads)
-                cache[key] = grads
+                add_sq(grads)  # exact f32 norm, before any cache cast
+                cache[key] = self._to_cache(grads)
 
             ct_ctx = self._run_backward(
                 params, args_of, noisy, t, ct, down_out_count, collect

@@ -30,6 +30,7 @@ tracker — is shared.
 from __future__ import annotations
 
 import os
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -360,6 +361,32 @@ class SegmentedSDTrainer:
             self.save_pipeline(save_dir)
 
     # -- main loop ---------------------------------------------------------
+    def _flush_metrics(self, pending, timer) -> None:
+        """Materialize + log a PREVIOUS step's metrics.  Deferring this by
+        one step is what pipelines the host: step N+1's decode (loader
+        thread), VAE-encode dispatch and ~25 stage-program dispatches all
+        run while the device is still executing step N — the reference
+        gets the same overlap from its prefetching DataLoader workers
+        (utils_training.py:212-256).  The blocking float() here is then
+        device-bound residual time, reported as ``perf/t_await_s``."""
+        if pending is None:
+            return
+        step_no, epoch, metrics, times = pending
+        t0 = time.perf_counter()
+        host = {
+            k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0
+        }
+        times["perf/t_await_s"] = time.perf_counter() - t0
+        host["epoch"] = epoch
+        host["lr"] = float(self._lr_sched(step_no))
+        host.update(times)
+        host.update(timer.stats(self.config.train_batch_size))
+        self.tracker.log(host, step_no)
+        if host.get("nonfinite"):
+            self.tracker.alert(
+                "NaN", f"non-finite loss at step {step_no}"
+            )
+
     def run(self):
         from phendiff_tpu.obs.profiling import StepTimer
 
@@ -368,10 +395,15 @@ class SegmentedSDTrainer:
         root_key = jax.random.key(cfg.seed)
         timer = StepTimer()
         done = False
+        pending = None  # one-step-deferred metrics (host/device overlap)
 
         for epoch in range(first_epoch, cfg.num_epochs):
             skip_batches = skip if epoch == first_epoch else 0
+            t_iter = time.perf_counter()
             for images, labels in self.loader.epoch(epoch, skip_batches):
+                # phase decomposition (VERDICT r3 #2's creep hunt): time
+                # blocked on the loader vs host dispatch vs device await
+                t_data_end = time.perf_counter()
                 rng = jax.random.fold_in(root_key, self.global_step)
                 k_enc, k_step = jax.random.split(rng)
                 latents = self._encode(
@@ -388,28 +420,29 @@ class SegmentedSDTrainer:
                 )
                 self.global_step += 1
                 timer.tick()
-                host = {
-                    k: float(v) for k, v in metrics.items()
-                    if jnp.ndim(v) == 0
+                times = {
+                    "perf/t_data_s": t_data_end - t_iter,
+                    "perf/t_dispatch_s": time.perf_counter() - t_data_end,
                 }
-                host["epoch"] = epoch
-                host["lr"] = float(self._lr_sched(self.global_step))
-                host.update(timer.stats(cfg.train_batch_size))
-                self.tracker.log(host, self.global_step)
-                if host.get("nonfinite"):
-                    self.tracker.alert(
-                        "NaN", f"non-finite loss at step {self.global_step}"
-                    )
+                self._flush_metrics(pending, timer)
+                pending = (self.global_step, epoch, metrics, times)
                 if self.global_step % cfg.checkpointing_steps == 0:
+                    self._flush_metrics(pending, timer)
+                    pending = None
                     self.ckpt.save(self.global_step, self._payload())
                 if (
                     cfg.eval_every_opti_steps
                     and self.global_step % cfg.eval_every_opti_steps == 0
                 ):
+                    self._flush_metrics(pending, timer)
+                    pending = None
                     self._run_eval()
                 if cfg.max_train_steps and self.global_step >= cfg.max_train_steps:
                     done = True
                     break
+                t_iter = time.perf_counter()
+            self._flush_metrics(pending, timer)
+            pending = None
             precise = (
                 cfg.precise_first_n_epochs is not None
                 and epoch < cfg.precise_first_n_epochs

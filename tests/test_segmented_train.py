@@ -333,3 +333,48 @@ def test_unknown_prediction_type_rejected():
     sched = make_schedule(SchedulerConfig(num_train_timesteps=20))
     with pytest.raises(ValueError, match="prediction_type"):
         sched.config.replace(prediction_type="nope")
+
+
+def test_bf16_gradient_cache_close_to_exact():
+    """clip_mode='cache' with cache_dtype=bf16 (VERDICT r3 #2: 1.75 GB
+    instead of 3.5 at full width): the global norm stays EXACT (computed
+    before the cast); updates differ from the exact cache only by bf16
+    rounding of the cached gradients."""
+    import pytest
+
+    _, params, lat, ctx = _setup()
+    rng = jax.random.key(21)
+    outs = {}
+    for name, dt in (("exact", None), ("bf16", jnp.bfloat16)):
+        seg = SegmentedSDUNet(CFG, dtype=jnp.float32)
+        step = SegmentedSDTrainStep(
+            seg, SCHED, optax.adamw(1e-3), max_grad_norm=0.5,
+            clip_mode="cache", cache_dtype=dt,
+        )
+        opt_state = step.init_opt_state(params)
+        p2, _, _, m = step(
+            jax.tree.map(jnp.copy, params), opt_state, lat, ctx, rng
+        )
+        outs[name] = (p2, m)
+    # exact norm regardless of cache dtype
+    np.testing.assert_allclose(
+        float(outs["exact"][1]["grad_norm"]),
+        float(outs["bf16"][1]["grad_norm"]), rtol=0, atol=0,
+    )
+    a = np.concatenate([
+        np.asarray(x).ravel() for x in jax.tree.leaves(outs["exact"][0])
+    ])
+    b = np.concatenate([
+        np.asarray(x).ravel() for x in jax.tree.leaves(outs["bf16"][0])
+    ])
+    # params moved by ~lr per Adam step; bf16 grad rounding perturbs the
+    # update direction slightly, bounded well below the step size
+    assert np.max(np.abs(a - b)) < 5e-4
+    assert not np.array_equal(a, b)  # the cast actually happened
+
+    with pytest.raises(ValueError, match="cache_dtype"):
+        SegmentedSDTrainStep(
+            SegmentedSDUNet(CFG), SCHED, optax.adamw(1e-3),
+            max_grad_norm=0.5, clip_mode="recompute",
+            cache_dtype=jnp.bfloat16,
+        )
