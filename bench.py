@@ -466,10 +466,10 @@ def _probe_backend() -> tuple:
     return False, last_err
 
 
-def _run_child(section: str) -> tuple:
+def _run_child(section: str, budget_cap: int = 10**9) -> tuple:
     """One section in a watchdogged subprocess; returns (result|None, err)."""
     env = dict(os.environ, BENCH_CHILD="1", BENCH_MODE=section)
-    budget = WATCHDOG[section]
+    budget = min(WATCHDOG[section], budget_cap)
     for attempt in range(2):
         try:
             r = subprocess.run(
@@ -534,6 +534,10 @@ def _save_last_good(store: dict) -> None:
 
 
 def main_parent() -> int:
+    # Global deadline: the parent ALWAYS prints its one JSON line with
+    # time to spare, even if every section hits its watchdog — an external
+    # kill of a still-running bench.py would lose the artifact entirely.
+    deadline = time.monotonic() + int(os.environ.get("BENCH_DEADLINE", "5400"))
     sections = [MODE] if MODE in SECTIONS else list(SECTIONS)
     store = _load_last_good()
     errors = []
@@ -545,7 +549,13 @@ def main_parent() -> int:
         # right after the probe's exits — give it a moment
         time.sleep(int(os.environ.get("BENCH_CHILD_DELAY", "10")))
         for s in sections:
-            res, err = _run_child(s)
+            remaining = deadline - time.monotonic()
+            if remaining < 120:
+                errors.append(
+                    f"{s}: skipped (global deadline, {remaining:.0f}s left)"
+                )
+                continue
+            res, err = _run_child(s, budget_cap=int(remaining - 60))
             if res is not None:
                 fresh[s] = res
                 store["sections"][s] = {
