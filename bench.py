@@ -341,7 +341,12 @@ def bench_sd_train(latent: int = 16, batch: int = 32):
     from phendiff_tpu.models.sd_unet import SDUNetConfig
     from phendiff_tpu.train.segmented_train import CtxEmbed, SegmentedSDTrainStep
 
-    clip_mode = os.environ.get("BENCH_SD_CLIP_MODE", "cache")
+    # "recompute" (2x backward, ≤1 stage's grads live) is the only mode
+    # known to fit full width + EMA + moments on a 16 GB chip with the f32
+    # cache; "cache" pairs with the bf16 gradient cache (1.75 GB) — set
+    # BENCH_SD_CLIP_MODE=cache to measure that lever (VERDICT r3 #2).
+    clip_mode = os.environ.get("BENCH_SD_CLIP_MODE", "recompute")
+    cache_dtype = jnp.bfloat16 if clip_mode == "cache" else None
     cfg = SDUNetConfig(sample_size=latent)
     seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
     ctx = CtxEmbed(num_classes=2, dtype=jnp.bfloat16)
@@ -361,10 +366,13 @@ def bench_sd_train(latent: int = 16, batch: int = 32):
     n = sum(p.size for p in jax.tree.leaves(params))
 
     schedule = make_schedule(SchedulerConfig(num_train_timesteps=1000))
+    from phendiff_tpu.train.ema import EMAConfig
+
     step_fn = SegmentedSDTrainStep(
         seg, schedule, optax.adamw(1e-5), proba_uncond=0.1,
-        ema=__import__("phendiff_tpu.train.ema", fromlist=["EMAConfig"]).EMAConfig(),
+        ema=EMAConfig(),
         max_grad_norm=1.0, clip_mode=clip_mode, ctx_module=ctx,
+        cache_dtype=cache_dtype,
     )
     # forward FLOPs for MFU (train step ≈ 3x fwd + clip-mode extra)
     x0 = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
