@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "(host-driven) instead of one jitted step — 'auto' "
                         "selects it when the UNet exceeds what constrained "
                         "compile transports can ship (full-width SD-2.1)")
+    p.add_argument("--segmented_clip_mode", type=str, default="recompute",
+                   choices=("recompute", "cache", "cache_bf16"),
+                   help="global-grad-clip scheme on the segmented route: "
+                        "'recompute' (2x backward, minimal memory — fits "
+                        "full width + EMA on 16 GB), 'cache' (single "
+                        "backward + f32 grad cache), 'cache_bf16' (single "
+                        "backward + half-size bf16 cache; the global norm "
+                        "stays exact)")
     p.add_argument("--pretrained_model_name_or_path", type=str, default=None)
     p.add_argument("--learn_denoiser_from_scratch", action="store_true",
                    help="keep the pretrained pipeline's config/VAE but "

@@ -160,10 +160,18 @@ def main(argv=None):
                 )
             from phendiff_tpu.train.segmented_trainer import SegmentedSDTrainer
 
+            import jax.numpy as jnp
+
+            clip_mode, cache_dtype = {
+                "recompute": ("recompute", None),
+                "cache": ("cache", None),
+                "cache_bf16": ("cache", jnp.bfloat16),
+            }[args.segmented_clip_mode]
             seg_trainer = SegmentedSDTrainer(
                 pipeline, config, paths,
                 components_to_train=tuple(args.components_to_train),
                 attention_fine_tuning=args.attention_fine_tuning,
+                clip_mode=clip_mode, cache_dtype=cache_dtype,
             )
             out = seg_trainer.run()
             print(f"done: {int(out['step'])} steps; best "

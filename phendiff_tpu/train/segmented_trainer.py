@@ -78,6 +78,7 @@ class SegmentedSDTrainer:
         paths: RunPaths,
         components_to_train: Tuple[str, ...] = ("denoiser", "class_embedding"),
         clip_mode: str = "recompute",
+        cache_dtype=None,
         donate: bool = True,
         tracker=None,
         seg: Optional[SegmentedSDUNet] = None,
@@ -174,6 +175,7 @@ class SegmentedSDTrainer:
             ema=config.train.ema,
             max_grad_norm=max_norm,
             clip_mode=clip_mode,
+            cache_dtype=cache_dtype,
             ctx_module=self.ctx_module,
         )
 
