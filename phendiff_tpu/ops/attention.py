@@ -144,7 +144,10 @@ def multi_head_attention(
             spec = _tp_shard_spec(mesh, q)
             if spec is None:  # non-dividing shapes: XLA handles any sharding
                 return attention_xla(q, k, v, scale=scale)
-            from jax.experimental.shard_map import shard_map
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map
 
             kw = dict(mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
             body = functools.partial(flash_attention, scale=scale)
