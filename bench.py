@@ -99,6 +99,27 @@ def _child_setup():
     return jax
 
 
+def _force(*arrays):
+    """Reliable execution barrier for timing.
+
+    On the attached tunnel runtime, ``block_until_ready`` returns BEFORE
+    the device has executed the dispatched programs (measured r4: a
+    137-GFLOP matmul "completed" in 0.12 ms → 1174 TFLOPS on a 197-TFLOP
+    chip; a forced host fetch of the same chain gave 98.7 TFLOPS, i.e. a
+    plausible 50% MFU).  Fetching data to the host is the only observed
+    true barrier, so every timed section syncs by pulling ONE element of
+    each result to the host — the gather depends on the full producing
+    computation, so this forces execution without paying a bulk transfer.
+    """
+    import numpy as np
+
+    for a in arrays:
+        if getattr(a, "ndim", 0) == 0 or a.size <= 64:
+            np.asarray(a)
+        else:
+            np.asarray(a.ravel()[:1])
+
+
 def bench_train():
     """Training-step throughput (samples/s/chip) on the flagship config.
 
@@ -142,14 +163,17 @@ def bench_train():
     ca = cost[0] if isinstance(cost, (list, tuple)) else cost
     step_flops = ca.get("flops") if ca else None
     state, m = compiled(state, (images, labels), jax.random.key(2))
-    jax.block_until_ready(m["loss"])
+    _force(m["loss"])
     print(f"# train compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = compiled(state, (images, labels), jax.random.key(2))
-    jax.block_until_ready(m["loss"])
+    # loss depends on the PREVIOUS iter's applied params, so forcing it
+    # covers iters 1..N-1 fully; forcing one param leaf covers the final
+    # iter's backward+apply as well
+    _force(m["loss"], jax.tree.leaves(state)[0])
     dt = time.perf_counter() - t0
     sustained = step_flops * iters / dt if step_flops else None
     return {
@@ -216,7 +240,7 @@ def bench_transfer():
 
     # warmup run (reuse the compiled executable — do NOT re-trigger jit)
     out = compiled(images)
-    out.block_until_ready()
+    _force(out)
 
     # dependency-chain the iterations: the attached runtime can drop
     # dispatched computations whose outputs die unobserved, which makes
@@ -226,7 +250,7 @@ def bench_transfer():
     x = images
     for _ in range(iters):
         x = 0.999 * x + 1e-3 * compiled(x)
-    x.block_until_ready()
+    _force(x)
     dt = time.perf_counter() - t0
 
     transfers_per_sec = BATCH * iters / dt
@@ -306,10 +330,10 @@ def bench_sd(latent: int, batch: int, steps: int = 50):
         )
 
     out = one_transfer(x)
-    out.block_until_ready()  # warm (stage programs already compiled above)
+    _force(out)  # warm (stage programs already compiled above)
     t0 = time.perf_counter()
-    out = one_transfer(x)
-    out.block_until_ready()
+    out = one_transfer(out)  # chain on the warm output: no reused-input dedup
+    _force(out)
     dt = time.perf_counter() - t0
     tps = batch / dt
     sustained = tps * 2 * steps * fwd_flops / batch if fwd_flops else None
@@ -393,7 +417,7 @@ def bench_sd_train(latent: int = 16, batch: int = 32):
         params, opt_state, x0, labels, jax.random.key(2),
         donate=True, ema_params=ema, step=0,
     )
-    jax.block_until_ready(m["loss"])
+    _force(m["loss"], jax.tree.leaves(params)[0])
     print(f"# sdtrain first step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     iters = int(os.environ.get("BENCH_SDTRAIN_ITERS", "5"))
@@ -403,7 +427,9 @@ def bench_sd_train(latent: int = 16, batch: int = 32):
             params, opt_state, x0, labels, jax.random.key(3 + i),
             donate=True, ema_params=ema, step=1 + i,
         )
-        jax.block_until_ready(m["loss"])
+    # iters chain through params/opt_state; forcing the final loss covers
+    # everything up to the last forward, a param leaf covers the last apply
+    _force(m["loss"], jax.tree.leaves(params)[0])
     dt = time.perf_counter() - t0
     sustained = fwd_flops * bwd_mult * iters / dt
     return {

@@ -56,3 +56,24 @@ class StepTimer:
 def annotate(name: str):
     """Named profiler span (shows up in the trace timeline)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def force_sync(*arrays) -> None:
+    """Reliable execution barrier for timing code.
+
+    On some attached tunnel runtimes ``block_until_ready`` returns BEFORE
+    the device has executed the dispatched programs (measured in round 4:
+    a 137-GFLOP matmul "completed" in 0.12 ms → an impossible 1174 TFLOPS
+    on a 197-TFLOP chip, while a forced host fetch of the same chain gave
+    a plausible 98.7 TFLOPS).  Fetching data to the host is the only
+    observed true barrier, so this pulls ONE element of each array to the
+    host — the gather depends on the full producing computation, forcing
+    execution without a bulk transfer.  Pytrees are flattened.
+    """
+    import numpy as np
+
+    for a in jax.tree.leaves(list(arrays)):
+        if getattr(a, "ndim", 0) == 0 or getattr(a, "size", 1) <= 64:
+            np.asarray(a)
+        else:
+            np.asarray(a.ravel()[:1])
