@@ -18,3 +18,21 @@ def force_platform_from_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def setup_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache for CLI runs.
+
+    Full-width SD compiles take minutes over a remote-compile tunnel
+    (~5 min for the monolithic 866M train step); the on-disk cache makes
+    every later launch (and the ``--segmented_sd auto`` probe) hit in
+    seconds.  ``PHENDIFF_COMPILE_CACHE`` overrides the location; set it
+    empty to disable.
+    """
+    cache = os.environ.get("PHENDIFF_COMPILE_CACHE", "/tmp/phendiff_jax_cache")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

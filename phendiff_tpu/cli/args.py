@@ -53,8 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("auto", "on", "off"),
                    help="run the SD family as segmented per-stage programs "
                         "(host-driven) instead of one jitted step — 'auto' "
-                        "selects it when the UNet exceeds what constrained "
-                        "compile transports can ship (full-width SD-2.1)")
+                        "probes whether the backend's compile transport "
+                        "takes the full-width monolithic train step "
+                        "(preferred: one program per step) and falls back "
+                        "to segmented when it does not")
     p.add_argument("--segmented_clip_mode", type=str, default="recompute",
                    choices=("recompute", "cache", "cache_bf16"),
                    help="global-grad-clip scheme on the segmented route: "
@@ -137,6 +139,16 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("no", "fp16", "bf16"))
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet blocks in backward (memory vs speed)")
+    p.add_argument("--metrics_flush_every", type=int, default=1,
+                   help="materialize+log train metrics every N steps in one "
+                        "stacked host fetch (N>1 removes the per-fetch "
+                        "round trip from the hot loop on remote backends; "
+                        "every step is still logged, NaN alerts lag <N)")
+    p.add_argument("--upload_uint8", action="store_true",
+                   help="ship training batches as uint8 and normalize on "
+                        "device (4x fewer host-to-device bytes; same "
+                        "post-resize uint8 quantization as torchvision's "
+                        "Resize+ToTensor in the reference)")
     p.add_argument("--model_parallel", type=int, default=1,
                    help="shard params over a model mesh axis of this size "
                         "(TPU-native extension; the reference is DDP-only). "

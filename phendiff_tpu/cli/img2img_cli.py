@@ -49,9 +49,10 @@ def apply_overrides(config: ComparisonConfig, overrides) -> ComparisonConfig:
 
 
 def main(argv=None) -> int:
-    from phendiff_tpu.cli import force_platform_from_env
+    from phendiff_tpu.cli import force_platform_from_env, setup_compilation_cache
 
     force_platform_from_env()
+    setup_compilation_cache()
     p = argparse.ArgumentParser("phendiff-img2img-comparison")
     p.add_argument("--config", required=True, help="YAML comparison config")
     p.add_argument("--override", nargs="*", default=[], help="key=value overrides")

@@ -73,6 +73,8 @@ def trainer_config_from_args(args) -> TrainerConfig:
         resume_from_checkpoint=args.resume_from_checkpoint,
         mixed_precision=args.mixed_precision,
         remat=args.remat,
+        metrics_flush_every=args.metrics_flush_every,
+        upload_uint8=args.upload_uint8,
         model_parallel=args.model_parallel,
         compute_metrics=args.compute_fid or args.compute_isc or args.compute_kid,
         train=TrainConfig(
@@ -113,9 +115,10 @@ def trainer_config_from_args(args) -> TrainerConfig:
 
 
 def main(argv=None):
-    from phendiff_tpu.cli import force_platform_from_env
+    from phendiff_tpu.cli import force_platform_from_env, setup_compilation_cache
 
     force_platform_from_env()
+    setup_compilation_cache()
     args = build_parser().parse_args(argv)
     # debug downscaling first: it sets an eval cadence and shrinks
     # nb_generated_images, both of which check_args validates
@@ -138,13 +141,27 @@ def main(argv=None):
     else:
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(
             pipeline.unet_params))
-        use_segmented = args.segmented_sd == "on" or (
-            args.segmented_sd == "auto" and n_params > 200_000_000
-        )
+        full_width = n_params > 200_000_000
+        use_segmented = args.segmented_sd == "on"
+        copy_params = True
+        if args.segmented_sd == "auto" and full_width:
+            # Full width: prefer the MONOLITHIC one-program step (13.5x
+            # faster than the per-stage chain on the r4 tunnel: 198 ms vs
+            # 2.68 s @128px b32) — but only if the backend's compile
+            # transport takes the 866M-param HLO; r2/r3 tunnels rejected
+            # it (broken pipe), hence the segmented fallback.  The probe
+            # lowers from abstract inputs, so a failure allocates nothing.
+            from phendiff_tpu.train.trainer import probe_sd_monolithic_compile
+
+            config.remat = True  # full-width backward does not fit unremat
+            use_segmented = not probe_sd_monolithic_compile(pipeline, config)
+            if not use_segmented:
+                # adopt (don't copy) the 3.5 GB param tree; the pipeline
+                # object's arrays are consumed by the donating step
+                copy_params = False
         if use_segmented:
-            # full-width route: per-stage programs + per-stage-VJP training
-            # (the monolithic step's HLO exceeds constrained compile
-            # transports at SD-2.1 width — models/sd_segmented.py)
+            # full-width fallback route: per-stage programs + per-stage-VJP
+            # training (models/sd_segmented.py)
             if "autoencoder" in args.components_to_train:
                 raise NotImplementedError(
                     "training the VAE ('autoencoder') is not supported on "
@@ -181,6 +198,7 @@ def main(argv=None):
             pipeline, config, paths,
             components_to_train=tuple(args.components_to_train),
             attention_fine_tuning=args.attention_fine_tuning,
+            copy_params=copy_params,
         )
     state = trainer.run()
     print(f"done: {int(state.step)} steps; best {config.eval.main_metric} = "

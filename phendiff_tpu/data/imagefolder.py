@@ -141,6 +141,13 @@ class LoaderConfig:
     batch_size: int = 16
     definition: Tuple[int, int] = (128, 128)
     normalize: bool = True
+    # "f32": ship normalized [-1,1] float32 batches (default).  "uint8":
+    # quantize the resized pixels back to uint8 in the producer thread and
+    # ship those (4x fewer bytes over a host→device tunnel; the train step
+    # normalizes on device).  The quantization matches torchvision's
+    # Resize→ToTensor in the reference transform (utils_dataset.py:104-118),
+    # which also rounds to uint8 after the resize.
+    transport: str = "f32"
     random_flip: bool = False  # H and V flips, each with p=0.5 (data_aug_on_the_fly)
     shuffle: bool = True
     drop_last: bool = True
@@ -195,6 +202,12 @@ class ImageFolderLoader:
             imgs = native.batch_resize_normalize(
                 raws, cfg.definition, flips=flips
             )
+            if cfg.transport == "uint8":
+                # quantize in the producer thread (overlapped with device
+                # work); the train step de-quantizes on device
+                imgs = np.clip(
+                    np.round((imgs + 1.0) * 127.5), 0, 255
+                ).astype(np.uint8)
         else:
             imgs = np.stack(
                 [load_image(self.index.paths[i], cfg.definition, False) for i in idxs]

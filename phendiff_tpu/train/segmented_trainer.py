@@ -202,11 +202,17 @@ class SegmentedSDTrainer:
             self.opt_state = self.step_fn.init_opt_state(self.params)
 
         self.vae_params = pipe.vae_params  # frozen
-        self._encode = jax.jit(
-            lambda vp, images, rng: encode_to_latents(
-                pipe.vae, vp, images.astype(jnp.float32), rng
-            )
-        )
+
+        def _enc(vp, images, rng):
+            if images.dtype == jnp.uint8:
+                # uint8 transport (TrainerConfig.upload_uint8; see
+                # train_loop.make_train_step for the quantization contract)
+                x = images.astype(jnp.float32) / 127.5 - 1.0
+            else:
+                x = images.astype(jnp.float32)
+            return encode_to_latents(pipe.vae, vp, x, rng)
+
+        self._encode = jax.jit(_enc)
         self._decode = jax.jit(
             lambda vp, latents: decode_from_latents(pipe.vae, vp, latents)
         )
@@ -375,9 +381,13 @@ class SegmentedSDTrainer:
             return
         step_no, epoch, metrics, times = pending
         t0 = time.perf_counter()
-        host = {
-            k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0
-        }
+        # ONE packed fetch — per-scalar fetches cost a ~30 ms tunnel round
+        # trip EACH (see Trainer._flush_metrics)
+        keys = sorted(k for k, v in metrics.items() if jnp.ndim(v) == 0)
+        packed = np.asarray(
+            jnp.stack([metrics[k].astype(jnp.float32) for k in keys])
+        )
+        host = dict(zip(keys, map(float, packed)))
         times["perf/t_await_s"] = time.perf_counter() - t0
         host["epoch"] = epoch
         host["lr"] = float(self._lr_sched(step_no))
@@ -456,5 +466,6 @@ class SegmentedSDTrainer:
                 self._run_eval()
             if done:
                 break
-        self.ckpt.save(self.global_step, self._payload())
+        if cfg.save_final_checkpoint:
+            self.ckpt.save(self.global_step, self._payload())
         return self._payload()

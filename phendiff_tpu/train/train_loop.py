@@ -135,11 +135,18 @@ class TrainState(struct.PyTreeNode):
     opt_state: optax.OptState
 
 
-def init_train_state(params: dict, optimizer: optax.GradientTransformation) -> TrainState:
+def init_train_state(
+    params: dict, optimizer: optax.GradientTransformation, copy: bool = True
+) -> TrainState:
     # Copy the params into the state: the train step donates the state's
     # buffers for in-place reuse, which must not invalidate the caller's
-    # (e.g. a pipeline object's) arrays.
-    params = jax.tree.map(jnp.copy, params)
+    # (e.g. a pipeline object's) arrays.  ``copy=False`` ADOPTS the caller's
+    # arrays instead — required at full SD width, where a second 3.5 GB
+    # param tree does not fit beside params+EMA+moments on a 16 GB chip;
+    # the caller must then treat its own references as consumed (the same
+    # convention as segmented_trainer's ``copy_params=False``).
+    if copy:
+        params = jax.tree.map(jnp.copy, params)
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
         params=params,
@@ -213,6 +220,14 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Tuple[Array, Array], rng: Array):
         images, labels = batch
+        if images.dtype == jnp.uint8:
+            # uint8 transport (TrainerConfig.upload_uint8): the loader ships
+            # quantized pixels (4x fewer bytes over a host→device tunnel)
+            # and the normalization to [-1, 1] happens here on device —
+            # the same post-resize uint8 quantization torchvision's
+            # Resize→ToTensor applies in the reference's transform
+            # (utils_dataset.py:104-118)
+            images = images.astype(jnp.float32) / 127.5 - 1.0
         rng = jax.random.fold_in(rng, state.step)
         k_flip, k_enc, k_loss = jax.random.split(rng, 3)
         clean = (

@@ -28,6 +28,7 @@ import logging
 import math
 import os
 import re
+import time
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -134,6 +135,23 @@ class TrainerConfig:
     # (parallel/tp.py rules); devices are split data x model.  1 = pure
     # data parallelism (the reference's only mode).
     model_parallel: int = 1
+    # Write the end-of-run checkpoint (reference behavior).  Profiling /
+    # benchmark runs set False: over a dev tunnel the 14 GB full-width
+    # state downloads at ~3 MB/s (~80 min) — not a cost a timing run
+    # should pay.
+    save_final_checkpoint: bool = True
+    # Materialize+log metrics every N steps (one stacked host fetch for
+    # all N records).  1 = per-step (reference cadence).  On tunnel
+    # runtimes each host fetch costs a ~30 ms flush round trip, so N>1
+    # removes it from the per-step critical path; every record is still
+    # logged (with its own step number) — only materialization batches.
+    # NaN alerts lag by at most N-1 steps.
+    metrics_flush_every: int = 1
+    # Ship training batches as uint8 and normalize on device (4x fewer
+    # host→device bytes; the post-resize uint8 quantization is exactly
+    # what the reference's torchvision Resize→ToTensor does).  Off by
+    # default to keep the f32-exact pipeline.
+    upload_uint8: bool = False
     # engine configs
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
     eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
@@ -150,6 +168,7 @@ def build_data(config: TrainerConfig):
     loader_cfg = LoaderConfig(
         batch_size=config.train_batch_size // jax.process_count(),
         definition=config.definition,
+        transport="uint8" if config.upload_uint8 else "f32",
         random_flip=config.data_aug_on_the_fly,
         seed=config.seed,
         prefetch=config.loader_prefetch,
@@ -195,6 +214,7 @@ class Trainer:
         tracker: Optional[Tracker] = None,
         devices=None,
         trainable_mask=None,
+        copy_params: bool = True,
     ):
         self.config = config
         self.paths = paths
@@ -238,8 +258,12 @@ class Trainer:
         )
         # model_parallel=1: every tp_spec is P() and this is plain
         # replication; >1: params/moments/EMA shard over the model axis
+        # copy_params=False adopts the caller's param arrays (full-width SD:
+        # a second 3.5 GB tree does not fit on 16 GB; the caller's refs are
+        # then consumed by the donating step — see init_train_state)
         self.state = shard_train_state(
-            init_train_state(trainable_params, self.optimizer), self.mesh
+            init_train_state(trainable_params, self.optimizer, copy=copy_params),
+            self.mesh,
         )
         self.ckpt = CheckpointManager(
             self.paths.checkpoints, config.checkpoints_total_limit
@@ -312,6 +336,45 @@ class Trainer:
             self.save_pipeline_fn(self.state, save_dir)
 
     # -- main loop -----------------------------------------------------------
+    def _flush_metrics(self, pending, timer) -> None:
+        """Materialize + log the PREVIOUS steps' metrics (a list of
+        deferred records).  Deferring by ≥1 step pipelines the host: the
+        next step's decode (loader), batch sharding and step dispatch run
+        while the device executes the current one — the reference gets the
+        same overlap from its prefetching DataLoader workers
+        (utils_training.py:212-256).  All records' scalars are pulled in
+        ONE stacked host fetch: each fetch costs a ~30 ms flush round trip
+        on tunnel runtimes (the only true barrier there —
+        obs.profiling.force_sync), so per-scalar or per-step fetching
+        taxes the hot loop (measured: 0.38 s of a 0.47 s full-width step).
+        The fetch duration is the device-bound residual,
+        ``perf/t_await_s`` on the newest record."""
+        if not pending:
+            return
+        t0 = time.perf_counter()
+        keys = sorted(
+            k for k, v in pending[0][2].items() if jnp.ndim(v) == 0
+        )
+        packed = np.asarray(
+            jnp.stack([
+                jnp.stack([m[k].astype(jnp.float32) for k in keys])
+                for _, _, m, _ in pending
+            ])
+        )
+        t_await = time.perf_counter() - t0
+        for (step_no, epoch, _, times), row in zip(pending, packed):
+            host = dict(zip(keys, map(float, row)))
+            times["perf/t_await_s"] = t_await if step_no == pending[-1][0] else 0.0
+            host["epoch"] = epoch
+            host.update(times)
+            host.update(timer.stats(self.config.train_batch_size))
+            self.tracker.log(host, step_no)
+            if host.get("nonfinite"):
+                self.tracker.alert(
+                    "NaN", f"non-finite loss/grad at step {step_no}"
+                )
+        pending.clear()
+
     def run(self) -> TrainState:
         from phendiff_tpu.obs.profiling import StepTimer
 
@@ -321,34 +384,40 @@ class Trainer:
         root_key = jax.random.key(cfg.seed)
         done = False
         timer = StepTimer()
+        flush_every = max(1, cfg.metrics_flush_every)
+        pending = []  # deferred metrics records (host/device overlap)
 
         for epoch in range(first_epoch, cfg.num_epochs):
             skip_batches = skip if epoch == first_epoch else 0
+            t_iter = time.perf_counter()
             for images, labels in self.loader.epoch(epoch, skip_batches):
+                t_data_end = time.perf_counter()
                 batch = shard_batch(self.mesh, (images, labels))
                 self.state, metrics = self._step_fn(self.state, batch, root_key)
                 global_step += 1
                 timer.tick()
-
-                host = {k: float(v) for k, v in metrics.items()}
-                host["epoch"] = epoch
-                host.update(timer.stats(cfg.train_batch_size))
-                self.tracker.log(host, global_step)
-                if host.get("nonfinite"):
-                    self.tracker.alert(
-                        "NaN", f"non-finite loss/grad at step {global_step}"
-                    )
+                times = {
+                    "perf/t_data_s": t_data_end - t_iter,
+                    "perf/t_dispatch_s": time.perf_counter() - t_data_end,
+                }
+                if len(pending) >= flush_every:
+                    self._flush_metrics(pending, timer)
+                pending.append((global_step, epoch, metrics, times))
 
                 if global_step % cfg.checkpointing_steps == 0:
+                    self._flush_metrics(pending, timer)
                     self.ckpt.save(global_step, self.state)
                 if (
                     cfg.eval_every_opti_steps
                     and global_step % cfg.eval_every_opti_steps == 0
                 ):
+                    self._flush_metrics(pending, timer)
                     self._run_eval(global_step)
                 if cfg.max_train_steps and global_step >= cfg.max_train_steps:
                     done = True
                     break
+                t_iter = time.perf_counter()
+            self._flush_metrics(pending, timer)
             precise = (
                 cfg.precise_first_n_epochs is not None
                 and epoch < cfg.precise_first_n_epochs
@@ -360,7 +429,8 @@ class Trainer:
                 self._run_eval(global_step)
             if done:
                 break
-        self.ckpt.save(global_step, self.state)
+        if cfg.save_final_checkpoint:
+            self.ckpt.save(global_step, self.state)
         return self.state
 
 
@@ -600,3 +670,68 @@ def for_sd_pipeline(
         trainable_mask=mask,
         **kw,
     )
+
+
+def probe_sd_monolithic_compile(pipe, config: TrainerConfig) -> bool:
+    """Can the backend compile the MONOLITHIC full-width SD train step?
+
+    Lowers + AOT-compiles the whole fwd+bwd+clip+adamw+EMA step from
+    ABSTRACT inputs — no device buffers are allocated, so a failure leaves
+    nothing to clean up.  Historically the dev tunnel's remote-compile
+    transport rejected the 866M-parameter HLO (r2/r3: the POST died with a
+    broken pipe → the segmented per-stage route, models/sd_segmented.py);
+    the r4 tunnel takes it (~5 min cold, persistent-cache hit afterwards)
+    and the one-program step runs 13.5x faster than the per-stage chain
+    (198 ms vs 2.68 s @128px b32).  ``--segmented_sd auto`` calls this to
+    pick the route; any exception (transport, OOM during compile) means
+    "use segmented".
+    """
+    from phendiff_tpu.models.autoencoder_kl import encode_to_latents
+    from phendiff_tpu.models.sd_unet import SDUNet
+
+    policy = Policy.from_mixed_precision(config.mixed_precision)
+    unet = SDUNet(pipe.unet_config, dtype=policy.compute_jnp, remat=config.remat)
+    vae_params = pipe.vae_params
+
+    def model_apply(p, x, t, class_seq):
+        return unet.apply(p["unet"], x, t, class_seq)
+
+    def embed_fn(p, labels):
+        emb = p["class_embedding"]["params"]["embedding"]["embedding"][labels]
+        return pad_to_clip_sequence(emb)
+
+    def encode_fn(images, rng):
+        return encode_to_latents(pipe.vae, vae_params, images, rng)
+
+    opt = make_optimizer(config.train.optimizer)
+    step = make_train_step(
+        model_apply, embed_fn, pipe.schedule, config.train, opt, encode_fn
+    )
+    abstract = lambda tree: jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), tree
+    )
+    params_abs = abstract(
+        {"unet": pipe.unet_params, "class_embedding": pipe.class_embedding_params}
+    )
+    state_abs = jax.eval_shape(
+        lambda p: init_train_state(p, opt, copy=False), params_abs
+    )
+    b = config.train_batch_size
+    h, w = config.definition
+    batch_abs = (
+        jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
+    )
+    key_abs = jax.eval_shape(lambda: jax.random.key(0))
+    try:
+        jax.jit(step, donate_argnums=(0,)).lower(
+            state_abs, batch_abs, key_abs
+        ).compile()
+        return True
+    except Exception as e:  # transport/compile failure → segmented route
+        logging.getLogger(__name__).warning(
+            "monolithic SD train step did not compile (%s: %s) — "
+            "falling back to the segmented per-stage route",
+            type(e).__name__, str(e)[:200],
+        )
+        return False

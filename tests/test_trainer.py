@@ -371,3 +371,98 @@ def test_sd_rejects_unknown_component(tiny_image_root, paths):
     cfg = make_config(tiny_image_root, paths)
     with pytest.raises(ValueError, match="unknown components_to_train"):
         for_sd_pipeline(pipe, cfg, paths, components_to_train=("vae",))
+
+
+def test_probe_sd_monolithic_compile_tiny(tiny_image_root, paths):
+    """The --segmented_sd auto probe: AOT-lowers the monolithic SD train
+    step from abstract inputs; on a backend that takes the HLO it returns
+    True without allocating any state."""
+    from phendiff_tpu.train.trainer import probe_sd_monolithic_compile
+
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE, SCHED, num_classes=2, class_embedding_dim=16, seed=0
+    )
+    cfg = make_config(tiny_image_root, paths)
+    assert probe_sd_monolithic_compile(pipe, cfg) is True
+
+
+def test_init_train_state_adopt_mode():
+    """copy=False must ADOPT the caller's arrays (full-width memory
+    contract: no second param tree)."""
+    import optax
+
+    from phendiff_tpu.train.train_loop import init_train_state
+
+    params = {"w": jnp.ones((4, 4))}
+    opt = optax.adamw(1e-3)
+    adopted = init_train_state(params, opt, copy=False)
+    assert adopted.params["w"] is params["w"]
+    copied = init_train_state(params, opt)  # default copies
+    assert copied.params["w"] is not params["w"]
+
+
+def test_trainer_deferred_metrics_logs_every_step(tiny_image_root, paths):
+    """The one-step-deferred flush must still log one record per step,
+    with the host-phase split (perf/t_data_s / t_dispatch_s / t_await_s)."""
+    import json
+
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(tiny_image_root, paths, num_epochs=1,
+                      checkpointing_steps=10**9)
+    trainer = for_ddim_pipeline(pipe, cfg, paths)
+    state = trainer.run()
+    recs = [json.loads(l) for l in open(
+        os.path.join(paths.run_dir, "metrics.jsonl"))]
+    steps = [r["step"] for r in recs]
+    assert steps == list(range(1, int(state.step) + 1))
+    last = recs[-1].get("metrics", recs[-1])
+    for k in ("perf/t_data_s", "perf/t_dispatch_s", "perf/t_await_s", "loss"):
+        assert any(k in r.get("metrics", r) for r in recs), k
+
+
+def test_trainer_metrics_flush_every_batches(tiny_image_root, paths):
+    """metrics_flush_every=3 must still log every step exactly once, in
+    order, with the same loss values a per-step flush would record."""
+    import json
+
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(tiny_image_root, paths, num_epochs=1,
+                      checkpointing_steps=10**9)
+    cfg.metrics_flush_every = 3
+    trainer = for_ddim_pipeline(pipe, cfg, paths)
+    state = trainer.run()
+    recs = [json.loads(l) for l in open(
+        os.path.join(paths.run_dir, "metrics.jsonl"))]
+    steps = [r["step"] for r in recs]
+    assert steps == list(range(1, int(state.step) + 1))
+    assert all(np.isfinite(r.get("metrics", r)["loss"]) for r in recs)
+
+
+def test_trainer_upload_uint8_trains(tiny_image_root, paths):
+    """uint8 transport: loader ships quantized pixels, step normalizes on
+    device; training must run and the quantization must stay within 1/255
+    of the f32 pipeline's pixel values."""
+    from phendiff_tpu.data.imagefolder import (
+        ImageFolderLoader, LoaderConfig, scan_imagefolder,
+    )
+
+    idx = scan_imagefolder(str(tiny_image_root))
+    a = ImageFolderLoader(idx, LoaderConfig(
+        batch_size=4, definition=(16, 16), shuffle=False, seed=0))
+    b = ImageFolderLoader(idx, LoaderConfig(
+        batch_size=4, definition=(16, 16), shuffle=False, seed=0,
+        transport="uint8"))
+    (xf, lf), = [next(iter(a.epoch(0)))]
+    (xu, lu), = [next(iter(b.epoch(0)))]
+    assert xu.dtype == np.uint8
+    np.testing.assert_array_equal(lf, lu)
+    back = xu.astype(np.float32) / 127.5 - 1.0
+    assert np.max(np.abs(back - xf)) <= (1.0 / 127.5)
+
+    pipe = ConditionalDDIMPipeline.init_random(TINY_UNET, SCHED, seed=0)
+    cfg = make_config(tiny_image_root, paths, num_epochs=1,
+                      checkpointing_steps=10**9)
+    cfg.upload_uint8 = True
+    trainer = for_ddim_pipeline(pipe, cfg, paths)
+    state = trainer.run()
+    assert int(state.step) > 0

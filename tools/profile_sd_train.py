@@ -50,12 +50,37 @@ def make_data(root: str, n: int, px: int) -> None:
             ).save(os.path.join(d, f"{i}.png"))
 
 
+def _build_seg(args, pipe, cfg, paths):
+    import jax.numpy as jnp
+
+    from phendiff_tpu.train.segmented_trainer import SegmentedSDTrainer
+
+    cache_dtype = jnp.bfloat16 if args.cache_dtype == "bf16" else None
+    trainer = SegmentedSDTrainer(
+        pipe, cfg, paths, clip_mode=args.clip_mode,
+        copy_params=args.width != "full",
+    )
+    if cache_dtype is not None:
+        # rebuild the step with the bf16 cache (trainer arg plumbing keeps
+        # the constructor small; this tool pokes the knob directly)
+        trainer.step_fn.cache_dtype = cache_dtype
+        trainer.step_fn._to_cache = jax.jit(
+            lambda g: jax.tree.map(lambda x: x.astype(cache_dtype), g)
+        )
+    return trainer
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--px", type=int, default=128)
     ap.add_argument("--width", choices=("tiny", "full"), default="tiny")
+    ap.add_argument("--route", choices=("seg", "mono"), default="seg",
+                    help="'mono' drives the standard Trainer with the "
+                         "one-program monolithic step (r4: compiles on the "
+                         "tunnel, 13.5x the segmented chain); 'seg' drives "
+                         "SegmentedSDTrainer")
     ap.add_argument("--clip_mode", default="recompute")
     ap.add_argument("--cache_dtype", default=None, choices=(None, "bf16"))
     ap.add_argument("--resume", action="store_true",
@@ -64,6 +89,13 @@ def main():
     ap.add_argument("--out", default="/tmp/phendiff_prof_run")
     ap.add_argument("--trace_at", type=int, default=0,
                     help="capture an xplane trace for 2 steps at this step")
+    ap.add_argument("--flush_every", type=int, default=1,
+                    help="mono route: materialize metrics every N steps "
+                         "(one stacked fetch — removes the ~30 ms tunnel "
+                         "round trip from the per-step critical path)")
+    ap.add_argument("--upload_uint8", action="store_true",
+                    help="ship batches as uint8, normalize on device "
+                         "(4x fewer host→device bytes)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -72,7 +104,6 @@ def main():
     from phendiff_tpu.models.autoencoder_kl import AutoencoderKLConfig
     from phendiff_tpu.models.sd_unet import SDUNetConfig
     from phendiff_tpu.pipelines.sd_img2img import SDImg2ImgPipeline
-    from phendiff_tpu.train.segmented_trainer import SegmentedSDTrainer
     from phendiff_tpu.train.trainer import RunPaths, TrainerConfig
     from phendiff_tpu.train.train_loop import OptimizerConfig, TrainConfig
 
@@ -117,34 +148,42 @@ def main():
         checkpointing_steps=(args.steps // 2) if args.resume else 10**9,
         mixed_precision="bf16",
         compute_metrics=False,
+        save_final_checkpoint=False,  # 14 GB over the tunnel ≈ 80 min
+        metrics_flush_every=args.flush_every,
+        upload_uint8=args.upload_uint8,
         train=TrainConfig(
             proba_uncond=0.1,
             optimizer=OptimizerConfig(learning_rate=1e-5, total_steps=10_000),
         ),
         tracker="jsonl",
     )
-    cache_dtype = jnp.bfloat16 if args.cache_dtype == "bf16" else None
-    trainer = SegmentedSDTrainer(
-        pipe, cfg, paths, clip_mode=args.clip_mode,
-        copy_params=args.width != "full",
-    )
-    if cache_dtype is not None:
-        # rebuild the step with the bf16 cache (trainer arg plumbing keeps
-        # the constructor small; this tool pokes the knob directly)
-        trainer.step_fn.cache_dtype = cache_dtype
-        trainer.step_fn._to_cache = jax.jit(
-            lambda g: jax.tree.map(lambda x: x.astype(cache_dtype), g)
+    if args.route == "mono":
+        from phendiff_tpu.train.trainer import for_sd_pipeline
+
+        if args.width == "full":
+            cfg.remat = True  # full-width backward does not fit unremat
+        trainer = for_sd_pipeline(
+            pipe, cfg, paths, copy_params=args.width != "full"
         )
+    else:
+        trainer = _build_seg(args, pipe, cfg, paths)
 
     if args.trace_at:
         orig_flush = trainer._flush_metrics
         state = {"on": False}
 
         def flush_with_trace(pending, timer):
-            if pending and pending[0] == args.trace_at and not state["on"]:
+            # seg route: pending = (step, ...); mono route: list of records
+            if pending and isinstance(pending, list):
+                pending_step = pending[0][0]
+            elif pending:
+                pending_step = pending[0]
+            else:
+                pending_step = None
+            if pending_step == args.trace_at and not state["on"]:
                 jax.profiler.start_trace("/tmp/phendiff_trace_sd_train")
                 state["on"] = True
-            elif pending and pending[0] == args.trace_at + 2 and state["on"]:
+            elif pending_step == args.trace_at + 2 and state["on"]:
                 jax.profiler.stop_trace()
                 state["on"] = False
                 print("# trace written to /tmp/phendiff_trace_sd_train",
