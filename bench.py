@@ -351,11 +351,111 @@ def bench_sd(latent: int, batch: int, steps: int = 50):
 
 
 def bench_sd_train(latent: int = 16, batch: int = 32):
-    """Full-width SD-2.1 segmented fine-tune STEP @128px with the real
-    run's semantics: per-stage VJP chain, ctx (class-embedding) stage,
-    global grad clip, per-stage EMA, donated buffers (VERDICT r3 #2's
-    "captured by a bench.py sd-train section").  Params are zeros (MXU/VPU
-    timing is data-independent, see bench_sd)."""
+    """Full-width SD-2.1 fine-tune STEP @128px with the real run's
+    semantics (VERDICT r3 #2's "captured by a bench.py sd-train section").
+
+    Route mirrors ``--segmented_sd auto``: the MONOLITHIC one-program step
+    (fwd+bwd+global clip+AdamW+EMA, donated, remat — r4: compiles on the
+    tunnel, 13.5x the per-stage chain) with the segmented per-stage-VJP
+    chain as fallback when the compile transport rejects the full-width
+    HLO.  Set BENCH_SDTRAIN_ROUTE=seg to force the fallback measurement.
+    Params are zeros (MXU/VPU timing is data-independent, see bench_sd)."""
+    route = os.environ.get("BENCH_SDTRAIN_ROUTE", "mono")
+    if route == "mono":
+        try:
+            return _bench_sd_train_mono(latent, batch)
+        except Exception as e:
+            print(f"# sdtrain monolithic failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back to segmented",
+                  file=sys.stderr)
+    return _bench_sd_train_seg(latent, batch)
+
+
+def _bench_sd_train_mono(latent: int, batch: int):
+    jax = _child_setup()
+    import jax.numpy as jnp
+    import optax
+
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+    from phendiff_tpu.train.ema import EMAConfig
+    from phendiff_tpu.train.train_loop import (
+        OptimizerConfig, TrainConfig, init_train_state, make_optimizer,
+        make_train_step,
+    )
+
+    cfg = SDUNetConfig(sample_size=latent)
+    model = SDUNet(cfg, dtype=jnp.bfloat16, remat=True)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((1, latent, latent, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+    )
+    unet_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    ce = jnp.zeros((2, 1024), jnp.float32)
+    params = {"unet": unet_params, "class_embedding": ce}
+    n = sum(p.size for p in jax.tree.leaves(params))
+
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+
+    def model_apply(p, x, t, seq):
+        return model.apply(p["unet"], x, t, seq)
+
+    def embed_fn(p, labels):
+        return pad_to_clip_sequence(p["class_embedding"][labels])
+
+    schedule = make_schedule(SchedulerConfig(num_train_timesteps=1000))
+    tcfg = TrainConfig(
+        proba_uncond=0.1, ema=EMAConfig(),
+        optimizer=OptimizerConfig(learning_rate=1e-5, max_grad_norm=1.0),
+    )
+    opt = make_optimizer(tcfg.optimizer)
+    step = jax.jit(
+        make_train_step(model_apply, embed_fn, schedule, tcfg, opt),
+        donate_argnums=(0,),
+    )
+    state = init_train_state(params, opt, copy=False)
+    x0 = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
+    labels = jnp.tile(jnp.array([0, 1], jnp.int32), batch // 2)
+
+    t0 = time.perf_counter()
+    state, m = step(state, (x0, labels), jax.random.key(2))
+    _force(m["loss"], jax.tree.leaves(state.params)[0])
+    print(f"# sdtrain mono compile+first: {time.perf_counter() - t0:.1f}s "
+          f"({n / 1e6:.0f}M params)", file=sys.stderr)
+
+    # forward FLOPs for MFU: fwd + bwd(2x) + remat extra fwd ~ 4x fwd
+    fwd_flops = None
+    try:
+        fwd = jax.jit(lambda p, xx: model_apply(p, xx, labels * 0 + 1,
+                                                embed_fn(p, labels)))
+        ca = fwd.lower(state.params, x0).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        fwd_flops = ca.get("flops") if ca else None
+    except Exception:
+        pass
+
+    iters = int(os.environ.get("BENCH_SDTRAIN_ITERS", "10"))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = step(state, (x0, labels), jax.random.key(3 + i))
+    _force(m["loss"], jax.tree.leaves(state.params)[0])
+    dt = time.perf_counter() - t0
+    sustained = fwd_flops * 4.0 * iters / dt if fwd_flops else None
+    return {
+        "metric": f"sd_train_samples_per_sec_per_chip_{latent * 8}px",
+        "value": round(batch * iters / dt, 2),
+        "unit": "samples/s/chip",
+        "batch": batch,
+        "latent": latent,
+        "route": "monolithic",
+        "step_time_s": round(dt / iters, 3),
+        "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
+    }
+
+
+def _bench_sd_train_seg(latent: int, batch: int):
     jax = _child_setup()
     import jax.numpy as jnp
     import optax
@@ -438,6 +538,7 @@ def bench_sd_train(latent: int = 16, batch: int = 32):
         "unit": "samples/s/chip",
         "batch": batch,
         "latent": latent,
+        "route": "segmented",
         "clip_mode": clip_mode,
         "step_time_s": round(dt / iters, 3),
         "tflops_per_sec": round(sustained / 1e12, 1),
