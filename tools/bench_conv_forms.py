@@ -28,6 +28,7 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
 import jax.numpy as jnp
+from phendiff_tpu.obs.profiling import force_sync
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
@@ -49,10 +50,10 @@ def timeit(name, fn, x, *args):
 
     c = jax.jit(chained).lower(x, *args).compile()
     out = c(x, *args)
-    jax.block_until_ready(out)
+    force_sync(out)
     t0 = time.perf_counter()
     out = c(x, *args)
-    jax.block_until_ready(out)
+    force_sync(out)
     dt = (time.perf_counter() - t0) / ITERS
     print(f"{name:8s} {dt*1e3:7.3f} ms")
     return dt

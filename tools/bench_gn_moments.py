@@ -28,6 +28,7 @@ os.environ.setdefault("JAX_PLATFORMS", "axon,cpu")
 
 import jax
 import jax.numpy as jnp
+from phendiff_tpu.obs.profiling import force_sync
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
@@ -55,11 +56,11 @@ def timeit(name, fn, xs):
 
     c = jax.jit(allreduce).lower(xs).compile()
     out = c(xs)
-    jax.block_until_ready(out)
+    force_sync(out)
     tdir = f"/tmp/gn_moments_trace/{name}"
     with jax.profiler.trace(tdir):
         out = c(xs)
-        jax.block_until_ready(out)
+        force_sync(out)
     dt = _device_ms(tdir) / ITERS * 1e-3
     gbs = (B * H * W2 * C * 2) / dt / 1e9 if dt else float("nan")
     print(f"{name:8s} {dt*1e3:7.3f} ms   {gbs:6.0f} GB/s (device trace)")

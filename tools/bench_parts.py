@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+from phendiff_tpu.obs.profiling import force_sync
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/phendiff_jax_cache_tpu")
@@ -31,13 +32,13 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 
 def timeit(compiled, *args, iters=ITERS):
     out = compiled(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    force_sync(jax.tree.leaves(out)[0])
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = compiled(*args)
-        jax.tree.leaves(out)[0].block_until_ready()
+        force_sync(jax.tree.leaves(out)[0])
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 

@@ -23,6 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from phendiff_tpu.core import SchedulerConfig, make_schedule
 from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+from phendiff_tpu.obs.profiling import force_sync
 
 BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 LAT = int(os.environ.get("BENCH_LAT", "64"))  # 64 latents = 512px
@@ -37,7 +38,7 @@ def build():
     seq = jnp.zeros((1, 77, cfg.cross_attention_dim))
     t0 = time.perf_counter()
     params = jax.jit(model.init)(jax.random.key(0), x, t, seq)
-    jax.block_until_ready(params)
+    force_sync(params)
     n = sum(p.size for p in jax.tree.leaves(params))
     print(f"# init: {n/1e6:.1f}M params in {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
@@ -60,7 +61,7 @@ def bench_segmented(cfg, params, mode):
 
     t0 = time.perf_counter()
     out = seg(params, x, t, ctx)
-    out.block_until_ready()
+    force_sync(out)
     print(f"# segmented compile+first: {time.perf_counter()-t0:.1f}s",
           file=sys.stderr)
 
@@ -98,10 +99,10 @@ def bench_segmented(cfg, params, mode):
         )
 
     out = one_transfer(x)
-    out.block_until_ready()  # warm
+    force_sync(out)  # warm
     t0 = time.perf_counter()
     out = one_transfer(x)
-    out.block_until_ready()
+    force_sync(out)
     dt = time.perf_counter() - t0
     assert bool(jnp.isfinite(out).all())
     print({"sd_latent_transfers_per_sec_per_chip": round(BATCH/dt, 3),
@@ -124,7 +125,7 @@ def bench_segtrain(seg, params):
     schedule = Sc.make_schedule(Sc.SchedulerConfig(num_train_timesteps=1000))
     step = SegmentedSDTrainStep(seg, schedule, optax.adamw(1e-5))
     opt_state = step.init_opt_state(params)
-    jax.block_until_ready(opt_state)
+    force_sync(opt_state)
     lat = jax.random.normal(jax.random.key(1), (BATCH, LAT, LAT, 4))
     emb = jax.random.normal(jax.random.key(2), (BATCH, 1024)) * 0.02
     ctx = pad_to_clip_sequence(emb)
@@ -161,7 +162,7 @@ def main():
             jax.random.key(0), jnp.zeros((1, LAT, LAT, cfg.in_channels)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
         )
-        jax.block_until_ready(params)
+        force_sync(params)
         print(f"# init {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         return bench_segtrain(seg, params)
     if mode in ("seg", "segtransfer"):
@@ -174,7 +175,7 @@ def main():
             jax.random.key(0), jnp.zeros((1, LAT, LAT, cfg.in_channels)),
             jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
         )
-        jax.block_until_ready(params)
+        force_sync(params)
         n = sum(p.size for p in jax.tree.leaves(params))
         print(f"# segmented init: {n/1e6:.1f}M params in "
               f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -192,12 +193,12 @@ def main():
         ca = c.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops = ca.get("flops", 0) if ca else 0
-        out = c(x, t, seq); out.block_until_ready()
+        out = c(x, t, seq); force_sync(out)
         t0 = time.perf_counter()
         iters = 10
         for _ in range(iters):
             out = c(x, t, seq)
-        out.block_until_ready()
+        force_sync(out)
         dt = (time.perf_counter() - t0) / iters
         print({"sd_fwd_ms": round(dt*1e3, 1), "batch": BATCH,
                "latent": LAT, "tflops_per_sec": round(flops/dt/1e12, 1),
@@ -221,12 +222,12 @@ def main():
         t0 = time.perf_counter()
         c = f.lower(x).compile()
         print(f"# transfer compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        out = c(x); out.block_until_ready()
+        out = c(x); force_sync(out)
         t0 = time.perf_counter()
         iters = 2
         for _ in range(iters):
             out = c(x)
-        out.block_until_ready()
+        force_sync(out)
         dt = (time.perf_counter() - t0) / iters
         print({"sd_latent_transfers_per_sec_per_chip": round(BATCH/dt, 3),
                "batch": BATCH, "latent": LAT, "steps": STEPS,

@@ -17,6 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from phendiff_tpu.models import CondUNet2D
 from phendiff_tpu.models import config as C
+from phendiff_tpu.obs.profiling import force_sync
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
@@ -24,11 +25,11 @@ RES = int(os.environ.get("BENCH_RES", "128"))
 
 def timeit(fn, *args, iters=10):
     out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    force_sync(jax.tree.leaves(out)[0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.tree.leaves(out)[0].block_until_ready()
+    force_sync(jax.tree.leaves(out)[0])
     return (time.perf_counter() - t0) / iters
 
 

@@ -22,6 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 from phendiff_tpu.models import CondUNet2D
 from phendiff_tpu.models import config as C
+from phendiff_tpu.obs.profiling import force_sync
 
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 RES = int(os.environ.get("BENCH_RES", "128"))
@@ -41,12 +42,12 @@ def main():
     f = jax.jit(lambda xx: model.apply(params, xx, t, class_labels=labels))
     compiled = f.lower(x).compile()
     out = compiled(x)
-    out.block_until_ready()
+    force_sync(out)
 
     with jax.profiler.trace(OUTDIR):
         for _ in range(3):
             out = compiled(x)
-        out.block_until_ready()
+        force_sync(out)
     print("trace written to", OUTDIR)
 
     # -- parse the trace JSON --------------------------------------------
