@@ -283,11 +283,96 @@ def bench_transfer():
 
 
 def bench_sd(latent: int, batch: int, steps: int = 50):
-    """Full-width SD-2.1 segmented DDIB latent transfer (milestones 3-4).
+    """Full-width SD-2.1 DDIB latent transfer (milestones 3-4).
 
-    Params are zeros of the right shapes (throughput on MXU/VPU is
-    data-independent; a real init costs ~6 min of device RNG over the
-    tunnel and changes nothing about timing)."""
+    Route mirrors the comparison engine's auto-routing: the MONOLITHIC
+    one-program ``lax.scan`` bridge first (the r4 tunnel compiles the 866M
+    HLO), the host-driven segmented per-stage chain as fallback for
+    transports that reject it.  Set BENCH_SD_ROUTE=seg to force the
+    fallback measurement.  Params are zeros of the right shapes
+    (throughput on MXU/VPU is data-independent; a real init costs ~6 min
+    of device RNG over the tunnel and changes nothing about timing)."""
+    route = os.environ.get("BENCH_SD_ROUTE", "mono")
+    if route == "mono":
+        try:
+            return _bench_sd_mono(latent, batch, steps)
+        except Exception as e:
+            print(f"# sd{latent * 8} monolithic failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back to segmented",
+                  file=sys.stderr)
+    return _bench_sd_seg(latent, batch, steps)
+
+
+def _bench_sd_mono(latent: int, batch: int, steps: int):
+    jax = _child_setup()
+    import jax.numpy as jnp
+
+    from phendiff_tpu.models.embeddings import pad_to_clip_sequence
+    from phendiff_tpu.models.sd_unet import SDUNet, SDUNetConfig
+    from phendiff_tpu.core import SchedulerConfig, make_schedule
+    from phendiff_tpu.pipelines import transfer as T
+
+    cfg = SDUNetConfig(sample_size=latent)
+    model = SDUNet(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0),
+        jnp.zeros((1, latent, latent, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    n = sum(p.size for p in jax.tree.leaves(params))
+
+    x = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
+    emb = jax.random.normal(jax.random.key(3), (2, 1024)) * 0.02
+    src = pad_to_clip_sequence(jnp.tile(emb[0][None], (batch, 1)))
+    tgt = pad_to_clip_sequence(jnp.tile(emb[1][None], (batch, 1)))
+
+    schedule = make_schedule(SchedulerConfig(
+        num_train_timesteps=1000, timestep_spacing="trailing",
+        clip_sample=False))
+
+    def denoiser(xx, tt, e):
+        return model.apply(params, xx, tt, e)
+
+    @jax.jit
+    def one_transfer(xc):
+        return T.ddib(denoiser, schedule, xc, src, tgt,
+                      num_inference_steps=steps)
+
+    t0 = time.perf_counter()
+    compiled = one_transfer.lower(x).compile()
+    print(f"# sd{latent * 8} monolithic compile: "
+          f"{time.perf_counter() - t0:.1f}s ({n / 1e6:.0f}M params)",
+          file=sys.stderr)
+    # XLA reports the fused scan body once ≈ one batched UNet forward
+    # (same convention as bench_transfer); one transfer = 2*steps fwd.
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    fwd_flops = ca.get("flops") if ca else None
+
+    out = compiled(x)
+    _force(out)  # warm
+    t0 = time.perf_counter()
+    out = compiled(out)  # chain on the warm output: no reused-input dedup
+    _force(out)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.isfinite(out).all())
+    tps = batch / dt
+    sustained = tps * 2 * steps * fwd_flops / batch if fwd_flops else None
+    return {
+        "metric": f"sd_latent_transfers_per_sec_per_chip_{steps}step_{latent * 8}px",
+        "value": round(tps, 3),
+        "unit": "transfers/s/chip",
+        "batch": batch,
+        "latent": latent,
+        "route": "monolithic",
+        "denoise_steps_per_sec": round(tps * 2 * steps, 1),
+        "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
+        "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,
+    }
+
+
+def _bench_sd_seg(latent: int, batch: int, steps: int = 50):
     jax = _child_setup()
     import jax.numpy as jnp
 

@@ -104,9 +104,11 @@ class ComparisonConfig:
         return cls(method_params=mp, metrics=metrics, **raw)
 
 
-# Above this UNet param count, auto-select the segmented route: the
-# monolithic 866M SD-2.1 sampling scan exceeds constrained compile
-# transports (models/sd_segmented.py's rationale).
+# Above this UNet param count, auto-routing PROBES the monolithic compile
+# first (one jitted scan is ~13.5x the host-driven per-stage chain when the
+# transport takes the 866M HLO — r4 measurement, docs/BENCHMARKS.md) and
+# falls back to the segmented route only when the probe fails
+# (models/sd_segmented.py's rationale: r2/r3 transports rejected it).
 _SEGMENTED_AUTO_PARAMS = 200_000_000
 
 
@@ -274,6 +276,7 @@ class ComparisonExperiment:
         # prepare_model(unet, evaluation_mode=True),
         # utils_Img2Img.py:316-317).  ``devices`` narrows the mesh (tests).
         self.mesh = make_mesh(devices)
+        self._mono_probe: Dict[tuple, bool] = {}
         self.pipes = {
             name: self._load_pipeline(path)
             for name, path in config.pipelines.items()
@@ -301,13 +304,59 @@ class ComparisonExperiment:
             return SDImg2ImgPipeline.from_pretrained(path)
         raise ValueError(f"unknown pipeline kind {kind} at {path}")
 
-    def _use_segmented(self, pipe) -> bool:
+    def _use_segmented(self, pipe, method: str, params: MethodParams) -> bool:
         if not isinstance(pipe, SDImg2ImgPipeline):
             return False
         if self.config.segmented_sd is not None:
             return self.config.segmented_sd
         n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(pipe.unet_params))
-        return n > _SEGMENTED_AUTO_PARAMS
+        if n <= _SEGMENTED_AUTO_PARAMS:
+            return False
+        return not self._probe_monolithic_transfer(pipe, method, params)
+
+    def _probe_monolithic_transfer(
+        self, pipe, method: str, params: MethodParams
+    ) -> bool:
+        """Can the backend compile the MONOLITHIC full-width transfer scan?
+
+        Mirrors ``train.trainer.probe_sd_monolithic_compile``: lower +
+        AOT-compile the whole jitted transfer (VAE encode → 2N-step scan →
+        decode) from ABSTRACT image/label inputs — no device buffers, so a
+        failure leaves nothing to clean up.  Probed per (pipe, method)
+        because program size is method-dependent (the reconstruction-guided
+        method differentiates through the UNet every step).  Any exception
+        (compile-transport rejection, OOM during compile) → segmented."""
+        key = (id(pipe), method, self.config.num_inference_steps)
+        if key in self._mono_probe:
+            return self._mono_probe[key]
+        log = logging.getLogger(__name__)
+        try:
+            fn = _make_transfer_fn(
+                pipe, method, params, self.config.num_inference_steps,
+                segmented=False,
+            )
+            from phendiff_tpu.parallel.mesh import DATA_AXIS
+
+            dp = int(self.mesh.shape[DATA_AXIS])
+            bs = params.batch_size + ((-params.batch_size) % dp)
+            h, w = self.config.definition
+            img = jax.ShapeDtypeStruct((bs, h, w, 3), jnp.float32)
+            lab = jax.ShapeDtypeStruct((bs,), jnp.int32)
+            fn.lower(img, lab, lab, jax.random.key(0)).compile()
+            ok = True
+            log.info(
+                "monolithic %s transfer compiles at full width: using the "
+                "one-program scan route", method,
+            )
+        except Exception as e:  # transport/OOM → the segmented fallback
+            ok = False
+            log.warning(
+                "monolithic %s transfer compile failed (%s: %.200s); "
+                "using the segmented per-stage route",
+                method, type(e).__name__, e,
+            )
+        self._mono_probe[key] = ok
+        return ok
 
     def _shard(self, images, src, tgt, enabled=True):
         """Pad a (possibly ragged-tail) batch to the mesh's data-axis size
@@ -339,7 +388,7 @@ class ComparisonExperiment:
         for method in cfg.methods:
             params = cfg.method_params.get(method, MethodParams())
             for pipe_name, pipe in self.pipes.items():
-                segmented = self._use_segmented(pipe)
+                segmented = self._use_segmented(pipe, method, params)
                 fn = _make_transfer_fn(
                     pipe, method, params, cfg.num_inference_steps,
                     segmented=segmented,

@@ -87,9 +87,14 @@ def test_segmented_route_matches_monolithic(tiny_image_root, tmp_path):
             assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
 
 
-def test_auto_select_threshold(tiny_image_root, tmp_path):
-    """Auto mode (segmented_sd=None) picks the jitted route for small SD
-    pipelines and the segmented route above the full-width param count."""
+def test_auto_select_threshold(tiny_image_root, tmp_path, monkeypatch):
+    """Auto mode (segmented_sd=None): small SD pipelines go monolithic
+    without probing; above the full-width param count the monolithic
+    compile is PROBED — probe success → monolithic, probe failure →
+    segmented (the r2/r3 constrained-transport fallback)."""
+    from phendiff_tpu.experiments import comparison as C
+    from phendiff_tpu.experiments.comparison import MethodParams
+
     pipe = SDImg2ImgPipeline.init_random(
         TINY_SD, TINY_VAE,
         SchedulerConfig(num_train_timesteps=20, clip_sample=False),
@@ -102,12 +107,34 @@ def test_auto_select_threshold(tiny_image_root, tmp_path):
         pipelines={"sd": str(pipe_dir)},
         dataset_train=str(tiny_image_root),
         definition=(32, 32),
+        num_inference_steps=5,
         metrics=MetricsConfig(fid=False, isc=False, kid=False),
     )
+    mp = MethodParams(batch_size=2)
     exp = ComparisonExperiment(cfg)
-    assert exp._use_segmented(exp.pipes["sd"]) is False
+    assert exp._use_segmented(exp.pipes["sd"], "ddib", mp) is False
+    assert not exp._mono_probe  # under the threshold: no probe ran
     cfg2 = ComparisonConfig(**{**cfg.__dict__, "segmented_sd": True})
-    assert ComparisonExperiment(cfg2)._use_segmented(exp.pipes["sd"]) is True
+    assert (
+        ComparisonExperiment(cfg2)._use_segmented(exp.pipes["sd"], "ddib", mp)
+        is True
+    )
+
+    # Above the threshold the probe decides.  The tiny pipe compiles on
+    # CPU, so the real probe succeeds → monolithic; then simulate the
+    # constrained transport by failing the lowering → segmented.
+    monkeypatch.setattr(C, "_SEGMENTED_AUTO_PARAMS", 0)
+    exp2 = ComparisonExperiment(cfg)
+    num_steps = cfg.num_inference_steps
+    assert exp2._use_segmented(exp2.pipes["sd"], "ddib", mp) is False
+    assert exp2._mono_probe == {(id(exp2.pipes["sd"]), "ddib", num_steps): True}
+    # cached: a second call must not re-lower (break _make_transfer_fn)
+    monkeypatch.setattr(C, "_make_transfer_fn",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError))
+    assert exp2._use_segmented(exp2.pipes["sd"], "ddib", mp) is False
+    # a different method probes fresh — and a failing compile → segmented
+    assert exp2._use_segmented(exp2.pipes["sd"], "inverted_regeneration", mp) \
+        is True
 
 
 @pytest.mark.parametrize(

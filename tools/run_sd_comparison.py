@@ -64,17 +64,21 @@ def main():
         method_params={m: MethodParams(batch_size=args.batch) for m in methods},
         num_inference_steps=args.steps,
         metrics=MetricsConfig(fid=True, isc=False, kid=False),
-        segmented_sd=None,  # AUTO: 866M params > threshold → segmented route
+        # AUTO: above the param threshold the monolithic compile is probed
+        # per method — this tunnel takes the 866M HLO (r4), so the
+        # one-program scan route is expected; segmented is the fallback.
+        segmented_sd=None,
     )
     t0 = time.perf_counter()
     exp = ComparisonExperiment(cfg)
     n_params = sum(
         int(p.size) for p in jax.tree.leaves(exp.pipes["sd_full"].unet_params)
     )
-    seg = exp._use_segmented(exp.pipes["sd_full"])
+    seg = exp._use_segmented(
+        exp.pipes["sd_full"], methods[0], cfg.method_params[methods[0]]
+    )
     print(f"# pipeline loaded: {n_params/1e6:.1f}M UNet params, "
           f"segmented={seg} ({time.perf_counter()-t0:.1f}s)", file=sys.stderr)
-    assert seg, "full-width pipeline should auto-select the segmented route"
 
     t0 = time.perf_counter()
     exp.run_transfers()
