@@ -49,6 +49,19 @@ from phendiff_tpu.obs.profiling import force_sync
 from phendiff_tpu.pipelines import transfer as T
 
 
+class BenchValidationError(RuntimeError):
+    """A measured run produced invalid output (non-finite).  Distinct from
+    compile/transport failures so --route auto never masks a numerics
+    regression as a routing fallback (ADVICE r4)."""
+
+
+def _check_finite(out) -> None:
+    # explicit raise, not `assert`: asserts vanish under python -O and a
+    # NaN run would emit a plausible-looking JSON metric (ADVICE r4)
+    if not bool(jnp.isfinite(out).all()):
+        raise BenchValidationError("non-finite guided transfer output")
+
+
 def _setup(latent: int, batch: int):
     cfg = SDUNetConfig(sample_size=latent)
     seg = SegmentedSDUNet(cfg, dtype=jnp.bfloat16)
@@ -87,15 +100,19 @@ def run_seg(latent: int, batch: int, steps: int) -> dict:
     t0 = time.perf_counter()
     out = one_transfer(x)
     force_sync(out)  # warm: stage fwd + input-VJP programs compile here
-    compile_s = time.perf_counter() - t0
-    print(f"# guided seg warm pass: {compile_s:.1f}s "
+    warm_pass_s = time.perf_counter() - t0
+    print(f"# guided seg warm pass: {warm_pass_s:.1f}s "
           f"({n / 1e6:.0f}M params)", file=sys.stderr)
     t0 = time.perf_counter()
     out = one_transfer(out)  # chain on warm output: no reused-input dedup
     force_sync(out)
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(out).all())
-    return _result(latent, batch, steps, dt, "segmented", compile_s)
+    _check_finite(out)
+    # seg has no single .compile(): the warm pass interleaves stage
+    # compiles WITH one full transfer execution, so it gets its own key
+    # rather than overloading mono's compile_s (ADVICE r4)
+    return _result(latent, batch, steps, dt, "segmented",
+                   warm_pass_s=warm_pass_s)
 
 
 def run_mono(latent: int, batch: int, steps: int) -> dict:
@@ -104,36 +121,39 @@ def run_mono(latent: int, batch: int, steps: int) -> dict:
     # monolithic SDUNet shares SegmentedSDUNet's param tree (one canonical
     # layout, models/sd_segmented.py)
 
-    def denoiser(xx, tt, e):
-        return model.apply(params, xx, tt, e)
-
+    # params as a TRACED ARGUMENT (not a closure capture): a captured
+    # full-width tree is baked into the HLO as constants — the dominant
+    # share of the 6-9 min full-width compiles (VERDICT r4 #2)
     @jax.jit
-    def one_transfer(xc):
+    def one_transfer(p, xc):
         return T.guided_inverted_start(
-            denoiser, schedule, xc, src, tgt, num_inference_steps=steps
+            lambda xx, tt, e: model.apply(p, xx, tt, e),
+            schedule, xc, src, tgt, num_inference_steps=steps,
         )
 
     t0 = time.perf_counter()
-    compiled = one_transfer.lower(x).compile()
+    compiled = one_transfer.lower(params, x).compile()
     compile_s = time.perf_counter() - t0
     print(f"# guided monolithic compile: {compile_s:.1f}s "
-          f"({n / 1e6:.0f}M params)", file=sys.stderr)
-    out = compiled(x)
+          f"({n / 1e6:.0f}M params, params-as-args)", file=sys.stderr)
+    out = compiled(params, x)
     force_sync(out)  # warm
     t0 = time.perf_counter()
-    out = compiled(out)
+    out = compiled(params, out)
     force_sync(out)
     dt = time.perf_counter() - t0
-    assert bool(jnp.isfinite(out).all())
-    return _result(latent, batch, steps, dt, "monolithic", compile_s)
+    _check_finite(out)
+    return _result(latent, batch, steps, dt, "monolithic",
+                   compile_s=compile_s)
 
 
-def _result(latent, batch, steps, dt, route, compile_s) -> dict:
+def _result(latent, batch, steps, dt, route, *, compile_s=None,
+            warm_pass_s=None) -> dict:
     tps = batch / dt
     # model evaluations per transfer: `steps` inversion forwards +
     # `steps` guided forwards + `steps` input-VJP backwards (the
     # reference's "3 passes/step" accounting, SURVEY.md §3.3)
-    return {
+    out = {
         "metric": f"sd_guided_transfers_per_sec_per_chip_{steps}step_{latent * 8}px",
         "value": round(tps, 3),
         "unit": "transfers/s/chip",
@@ -142,8 +162,12 @@ def _result(latent, batch, steps, dt, route, compile_s) -> dict:
         "route": route,
         "model_passes_per_sec": round(tps * 3 * steps, 1),
         "transfer_time_s": round(dt, 3),
-        "compile_s": round(compile_s, 1),
     }
+    if compile_s is not None:
+        out["compile_s"] = round(compile_s, 1)
+    if warm_pass_s is not None:
+        out["warm_pass_s"] = round(warm_pass_s, 1)
+    return out
 
 
 def main():
@@ -160,6 +184,10 @@ def main():
         try:
             print(json.dumps(run_mono(latent, args.batch, args.steps)))
             return 0
+        except BenchValidationError:
+            # a numerics failure is NOT a routing condition: surface it
+            # instead of silently reporting the other route (ADVICE r4)
+            raise
         except Exception as e:
             if args.route == "mono":
                 raise
