@@ -132,30 +132,42 @@ def _make_segmented_transfer_fn(
     )
 
     schedule = pipe.schedule
-    if pipeline_parallel and len(jax.devices()) > 1:
+    use_pp = pipeline_parallel and len(jax.devices()) > 1
+    if use_pp:
         from phendiff_tpu.parallel.pp import PipelinedSDUNet
 
         pp = PipelinedSDUNet(pipe.unet_config, dtype=pipe.dtype)
-        placed = pp.place_params(pipe.unet_params)
+        # placement is cached per unet-params identity so a checkpoint
+        # sweep re-places each checkpoint once, not once per batch
+        placed_of: Dict[int, dict] = {}
 
-        def denoiser(x, t, emb):
-            return pp(placed, x, t, emb)
+        def _placed(unet_params):
+            key = id(unet_params)
+            if key not in placed_of:
+                placed_of[key] = pp.place_params(unet_params)
+            return placed_of[key]
     else:
         seg = SegmentedSDUNet(pipe.unet_config, dtype=pipe.dtype)
-        unet_params = pipe.unet_params
-
-        def denoiser(x, t, emb):
-            return seg(unet_params, x, t, emb)
 
     encode = jax.jit(
         lambda vp, images: encode_to_latents(pipe.vae, vp, images)
     )
     decode = jax.jit(lambda vp, lat: decode_from_latents(pipe.vae, vp, lat))
 
-    def fn(images, src_labels, tgt_labels, rng):
-        x = encode(pipe.vae_params, images)
-        src_emb = pipe.encode_class(src_labels)
-        tgt_emb = pipe.encode_class(tgt_labels)
+    def fn(ptree, images, src_labels, tgt_labels, rng):
+        unet_params = ptree["unet"]
+        if use_pp:
+            placed = _placed(unet_params)
+
+            def denoiser(x, t, emb):
+                return pp(placed, x, t, emb)
+        else:
+            def denoiser(x, t, emb):
+                return seg(unet_params, x, t, emb)
+
+        x = encode(ptree["vae"], images)
+        src_emb = pipe.encode_class(src_labels, ptree["class_embedding"])
+        tgt_emb = pipe.encode_class(tgt_labels, ptree["class_embedding"])
         if method == "ddib":
             out = T.ddib_stepwise(denoiser, schedule, x, src_emb, tgt_emb,
                                   num_inference_steps=steps)
@@ -171,24 +183,23 @@ def _make_segmented_transfer_fn(
                 guidance=GuidanceConfig(params.guidance_scale),
             )
         elif method == "linear_interp_custom_guidance_inverted_start":
-            if pipeline_parallel and len(jax.devices()) > 1:
-                raise NotImplementedError(
-                    "the reconstruction-guided method is not supported "
-                    "under pipeline_parallel yet (the input-VJP chain "
-                    "runs single-chip); drop pipeline_parallel"
+            if use_pp:
+                fwd_vjp = lambda xx, tt, e: pp.forward_with_input_vjp(
+                    _placed(unet_params), xx, tt, e
+                )
+            else:
+                fwd_vjp = lambda xx, tt, e: seg.forward_with_input_vjp(
+                    unet_params, xx, tt, e
                 )
             out = T.guided_inverted_start_stepwise(
-                denoiser,
-                lambda xx, tt, e: seg.forward_with_input_vjp(
-                    unet_params, xx, tt, e
-                ),
+                denoiser, fwd_vjp,
                 schedule, x, src_emb, tgt_emb,
                 guidance_loss_scale=params.guidance_loss_scale, p=params.p,
                 num_inference_steps=steps,
             )
         else:
             raise ValueError(f"unknown transfer method: {method}")
-        return decode(pipe.vae_params, out)
+        return decode(ptree["vae"], out)
 
     return fn
 
@@ -198,24 +209,32 @@ def _make_transfer_fn(
     segmented: bool = False,
     pipeline_parallel: bool = False,
 ):
-    """One jitted function (images, src_labels, tgt_labels, rng) → images."""
+    """One jitted function (params_tree, images, src_labels, tgt_labels,
+    rng) → images.
+
+    The checkpoint tree is a TRACED ARGUMENT, not a closure capture: a
+    captured full-width tree (3.5 GB) is baked into the HLO as constants —
+    slower lowering, doubled host memory, and a recompile per checkpoint.
+    As an argument, one compiled program serves every same-architecture
+    checkpoint (the reference's comparison treats pipelines as data,
+    ``img2img_comparison.py:100``)."""
     is_sd = isinstance(pipe, SDImg2ImgPipeline)
     if segmented and is_sd:
         return _make_segmented_transfer_fn(
             pipe, method, params, steps, pipeline_parallel=pipeline_parallel
         )
 
-    if is_sd:
-        denoiser = pipe.denoiser_fn()
-        schedule = pipe.schedule
-        embed = pipe.encode_class
-    else:
-        denoiser = pipe.denoiser_fn()
-        schedule = pipe.schedule
-        embed = pipe.class_embeddings
+    schedule = pipe.schedule
 
-    def core(images, src_labels, tgt_labels, rng):
-        x = pipe.encode_images(images) if is_sd else images
+    def core(ptree, images, src_labels, tgt_labels, rng):
+        if is_sd:
+            denoiser = pipe.denoiser_fn(ptree["unet"])
+            embed = lambda l: pipe.encode_class(l, ptree["class_embedding"])
+            x = pipe.encode_images(images, params=ptree["vae"])
+        else:
+            denoiser = pipe.denoiser_fn(ptree)
+            embed = lambda l: pipe.class_embeddings(l, ptree)
+            x = images
         src_emb = embed(src_labels)
         tgt_emb = embed(tgt_labels)
         if method == "ddib":
@@ -240,7 +259,7 @@ def _make_transfer_fn(
         else:
             raise ValueError(f"unknown transfer method: {method}")
         if is_sd:
-            out = pipe.decode_latents(out)
+            out = pipe.decode_latents(out, params=ptree["vae"])
         return out
 
     return jax.jit(core)
@@ -277,6 +296,12 @@ class ComparisonExperiment:
         # utils_Img2Img.py:316-317).  ``devices`` narrows the mesh (tests).
         self.mesh = make_mesh(devices)
         self._mono_probe: Dict[tuple, bool] = {}
+        # One transfer program per (architecture, method, route) — NOT per
+        # checkpoint: the params ride through jit as traced arguments, so
+        # an N-checkpoint sweep compiles each method once (the reference
+        # swaps checkpoints into one torch graph for free,
+        # img2img_comparison.py:100; milestone-5 sweep parity).
+        self._transfer_fns: Dict[tuple, Callable] = {}
         self.pipes = {
             name: self._load_pipeline(path)
             for name, path in config.pipelines.items()
@@ -304,6 +329,24 @@ class ComparisonExperiment:
             return SDImg2ImgPipeline.from_pretrained(path)
         raise ValueError(f"unknown pipeline kind {kind} at {path}")
 
+    def _transfer_fn(
+        self, pipe, method: str, params: MethodParams, segmented: bool,
+        pipeline_parallel: bool = False,
+    ) -> Callable:
+        """The (cached) transfer program for this architecture + method.
+        MethodParams are per-method constants in the config, so the key
+        (arch, method, steps, route) pins them too."""
+        key = (
+            pipe.arch_fingerprint(), method, self.config.num_inference_steps,
+            segmented, pipeline_parallel,
+        )
+        if key not in self._transfer_fns:
+            self._transfer_fns[key] = _make_transfer_fn(
+                pipe, method, params, self.config.num_inference_steps,
+                segmented=segmented, pipeline_parallel=pipeline_parallel,
+            )
+        return self._transfer_fns[key]
+
     def _use_segmented(self, pipe, method: str, params: MethodParams) -> bool:
         if not isinstance(pipe, SDImg2ImgPipeline):
             return False
@@ -325,16 +368,17 @@ class ComparisonExperiment:
         failure leaves nothing to clean up.  Probed per (pipe, method)
         because program size is method-dependent (the reconstruction-guided
         method differentiates through the UNet every step).  Any exception
-        (compile-transport rejection, OOM during compile) → segmented."""
-        key = (id(pipe), method, self.config.num_inference_steps)
+        (compile-transport rejection, OOM during compile) → segmented.
+
+        Probed per (architecture, method): an AOT-compiled program is
+        reused by every same-architecture checkpoint (params are traced
+        arguments), so the probe result transfers too."""
+        key = (pipe.arch_fingerprint(), method, self.config.num_inference_steps)
         if key in self._mono_probe:
             return self._mono_probe[key]
         log = logging.getLogger(__name__)
         try:
-            fn = _make_transfer_fn(
-                pipe, method, params, self.config.num_inference_steps,
-                segmented=False,
-            )
+            fn = self._transfer_fn(pipe, method, params, segmented=False)
             from phendiff_tpu.parallel.mesh import DATA_AXIS
 
             dp = int(self.mesh.shape[DATA_AXIS])
@@ -342,7 +386,11 @@ class ComparisonExperiment:
             h, w = self.config.definition
             img = jax.ShapeDtypeStruct((bs, h, w, 3), jnp.float32)
             lab = jax.ShapeDtypeStruct((bs,), jnp.int32)
-            fn.lower(img, lab, lab, jax.random.key(0)).compile()
+            ptree = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                pipe.params_tree,
+            )
+            fn.lower(ptree, img, lab, lab, jax.random.key(0)).compile()
             ok = True
             log.info(
                 "monolithic %s transfer compiles at full width: using the "
@@ -389,11 +437,11 @@ class ComparisonExperiment:
             params = cfg.method_params.get(method, MethodParams())
             for pipe_name, pipe in self.pipes.items():
                 segmented = self._use_segmented(pipe, method, params)
-                fn = _make_transfer_fn(
-                    pipe, method, params, cfg.num_inference_steps,
-                    segmented=segmented,
+                fn = self._transfer_fn(
+                    pipe, method, params, segmented,
                     pipeline_parallel=cfg.pipeline_parallel,
                 )
+                ptree = pipe.params_tree
                 data_parallel = not (
                     segmented and cfg.pipeline_parallel
                     and len(jax.devices()) > 1
@@ -422,7 +470,7 @@ class ComparisonExperiment:
                         (im_d, src_d, tgt_d), n_real = self._shard(
                             images, src, tgt, enabled=data_parallel
                         )
-                        out = fn(im_d, src_d, tgt_d, sub)
+                        out = fn(ptree, im_d, src_d, tgt_d, sub)
                         out01 = np.asarray(to_images(out))[:n_real]
                         _save_batch(
                             out01, basenames, tgt, index.classes, out_dir,

@@ -142,6 +142,105 @@ class PipelinedSDUNet:
         out = seg._stage("out", seg._out)(placed["out"], x)
         return out.astype(sample.dtype)
 
+    # -- input VJP (reconstruction-guided transfer under PP) -----------------
+    def forward_with_input_vjp(
+        self, placed, sample, timesteps, encoder_hidden_states
+    ):
+        """Forward + ``vjp_fn(ct_pred) -> d_sample`` with every stage's
+        forward AND cotangent program resident on that stage's device.
+
+        The guided transfer method (reference ``utils_Img2Img.py:651-760``,
+        per-step ``torch.autograd.grad`` w.r.t. the latents) composed with
+        pipeline placement: activations flow stem→…→out on the forward,
+        cotangents walk out→…→stem on the same devices in reverse — each
+        hop is one ICI transfer, mirroring how the training chain composes
+        with ``device_of`` placement (test_pp.py::
+        test_pp_training_composes_with_vjp_chain).  Numerics are exactly
+        ``SegmentedSDUNet.forward_with_input_vjp`` (same per-stage
+        programs, ``models/sd_segmented.py:352``): placement moves bits,
+        never math."""
+        placed = self.place_params(placed)
+        seg, cfg = self.seg, self.cfg
+        L = cfg.layers_per_block
+        n = len(cfg.block_out_channels)
+        ctx = encoder_hidden_states.astype(seg.dtype)
+        in_dtype = sample.dtype
+        # Both outputs (pred from the LAST stage, d_sample from the FIRST)
+        # must land on ONE device: the guided head adds them to each other
+        # and to the latents, and two differently-committed operands are a
+        # hard error.  Home = the caller's committed device if any, else
+        # the out stage's (where pred already lives).
+        home = None
+        if getattr(sample, "committed", False):
+            home = next(iter(sample.devices()))
+        if home is None:
+            home = self.device_of["out"]
+
+        args_of = {}
+        x, t = self._to("stem", sample, jnp.asarray(timesteps))
+        args_of["stem"] = (x, t)
+        x, temb = seg._stage("stem", seg._stem)(placed["stem"], x, t)
+        skips = [x]
+        down_out_count = {}
+        for i, mod in enumerate(seg._down):
+            key = f"down:{i}"
+            x, temb_d, ctx_d = self._to(key, x, temb, ctx)
+            args_of[key] = (x, temb_d, ctx_d)
+            x, outs = seg._stage(key, mod)(placed[key], x, temb_d, ctx_d)
+            skips.extend(outs)
+            down_out_count[key] = len(outs)
+        x, temb_d, ctx_d = self._to("mid", x, temb, ctx)
+        args_of["mid"] = (x, temb_d, ctx_d)
+        x = seg._stage("mid", seg._mid)(placed["mid"], x, temb_d, ctx_d)
+        for i, mod in enumerate(seg._up):
+            key = f"up:{i}"
+            cons = tuple(
+                self._to(key, skips.pop())[0] for _ in range(L + 1)
+            )
+            x, temb_d, ctx_d = self._to(key, x, temb, ctx)
+            args_of[key] = (x, temb_d, ctx_d, cons)
+            x = seg._stage(key, mod)(placed[key], x, temb_d, ctx_d, cons)
+        assert not skips
+        (x,) = self._to("out", x)
+        args_of["out"] = (x,)
+        pred_raw = seg._stage("out", seg._out)(placed["out"], x)
+
+        def vjp_fn(ct_pred):
+            (ct,) = self._to("out", ct_pred.astype(pred_raw.dtype))
+            ct_x = seg._ivjp_fn("out", seg._out, "out")(
+                placed["out"], args_of["out"], ct
+            )
+            skip_cts = []
+            for i in reversed(range(n)):
+                key = f"up:{i}"
+                (ct_x,) = self._to(key, ct_x)
+                ct_x, d_skips = seg._ivjp_fn(key, seg._up[i], "up")(
+                    placed[key], args_of[key], ct_x
+                )
+                # same stack-order bookkeeping as the single-chip chain
+                skip_cts = skip_cts + list(reversed(d_skips))
+            (ct_x,) = self._to("mid", ct_x)
+            ct_x = seg._ivjp_fn("mid", seg._mid, "mid")(
+                placed["mid"], args_of["mid"], ct_x
+            )
+            for i in reversed(range(n)):
+                key = f"down:{i}"
+                cnt = down_out_count[key]
+                outs_ct = self._to(key, *skip_cts[-cnt:])
+                skip_cts = skip_cts[:-cnt]
+                (ct_x,) = self._to(key, ct_x)
+                ct_x = seg._ivjp_fn(key, seg._down[i], "down")(
+                    placed[key], args_of[key], (ct_x, list(outs_ct))
+                )
+            (stem_skip_ct,) = skip_cts
+            ct_x, stem_skip_ct = self._to("stem", ct_x, stem_skip_ct)
+            d_sample = seg._ivjp_fn("stem", seg._stem, "stem")(
+                placed["stem"], args_of["stem"], ct_x + stem_skip_ct
+            )
+            return jax.device_put(d_sample.astype(ct_pred.dtype), home)
+
+        return jax.device_put(pred_raw.astype(in_dtype), home), vjp_fn
+
     def __call__(
         self,
         placed,

@@ -88,12 +88,35 @@ class ConditionalDDIMPipeline:
         return jnp.asarray(p)[class_labels]
 
     def denoiser_fn(self, params=None) -> sampler.DenoiserFn:
-        variables = params or self.params
+        variables = self.params if params is None else params
 
         def fn(x, t, class_emb):
             return self._model.apply(variables, x, t, class_emb=class_emb)
 
         return fn
+
+    # -- checkpoint-as-data ------------------------------------------------
+    @property
+    def params_tree(self) -> dict:
+        """The checkpoint as one pytree for jit-argument threading (see
+        ``SDImg2ImgPipeline.params_tree``)."""
+        return self.params
+
+    def arch_fingerprint(self) -> str:
+        """Architecture identity: equal fingerprints ⇒ one compiled
+        transfer program serves both checkpoints."""
+        import json as _json
+
+        return _json.dumps(
+            {
+                "kind": "ConditionalDDIMPipeline",
+                "unet": self.unet_config.to_json_dict(),
+                "scheduler": self.scheduler_config.to_json_dict(),
+                "dtype": str(self.dtype),
+                "lane_pack": bool(self.lane_pack),
+            },
+            sort_keys=True,
+        )
 
     # -- sampling ----------------------------------------------------------
     def generate(

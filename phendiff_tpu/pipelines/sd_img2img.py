@@ -121,7 +121,7 @@ class SDImg2ImgPipeline:
         return pad_to_clip_sequence(emb, CLIP_SEQ_LEN)
 
     def denoiser_fn(self, params=None):
-        variables = params or self.unet_params
+        variables = self.unet_params if params is None else params
 
         def fn(x, t, class_seq):
             return self._unet.apply(variables, x, t, class_seq)
@@ -129,11 +129,53 @@ class SDImg2ImgPipeline:
         return fn
 
     # -- latent plumbing ---------------------------------------------------
-    def encode_images(self, images: Array, rng: Optional[Array] = None) -> Array:
-        return encode_to_latents(self._vae, self.vae_params, images, rng)
+    def encode_images(
+        self, images: Array, rng: Optional[Array] = None, params=None
+    ) -> Array:
+        return encode_to_latents(
+            self._vae, self.vae_params if params is None else params,
+            images, rng,
+        )
 
-    def decode_latents(self, latents: Array) -> Array:
-        return decode_from_latents(self._vae, self.vae_params, latents)
+    def decode_latents(self, latents: Array, params=None) -> Array:
+        return decode_from_latents(
+            self._vae, self.vae_params if params is None else params, latents
+        )
+
+    # -- checkpoint-as-data ------------------------------------------------
+    @property
+    def params_tree(self) -> dict:
+        """Every checkpoint array as ONE pytree — for passing through jit
+        as a TRACED ARGUMENT rather than capturing into the program as
+        compile-time constants.  Baking the full-width tree (3.5 GB) into
+        the HLO slows lowering severely and forces a recompile per
+        checkpoint; as an argument, one compiled program serves every
+        same-architecture checkpoint (the reference swaps checkpoints for
+        free, ``img2img_comparison.py:100`` — pipelines are data, not
+        programs)."""
+        return {
+            "unet": self.unet_params,
+            "vae": self.vae_params,
+            "class_embedding": self.class_embedding_params,
+        }
+
+    def arch_fingerprint(self) -> str:
+        """Architecture identity (configs, not weights): two pipelines with
+        equal fingerprints can share one compiled transfer program."""
+        import json as _json
+
+        return _json.dumps(
+            {
+                "kind": "SDImg2ImgPipeline",
+                "unet": self.unet_config.to_json_dict(),
+                "vae": self.vae_config.to_json_dict(),
+                "scheduler": self.scheduler_config.to_json_dict(),
+                "num_classes": self.num_classes,
+                "class_embedding_dim": self.class_embedding_dim,
+                "dtype": str(self.dtype),
+            },
+            sort_keys=True,
+        )
 
     def prepare_latents(
         self,
@@ -170,14 +212,20 @@ class SDImg2ImgPipeline:
         output_type: str = "image",  # "image" | "latent" | "image+latent"
         params=None,
     ):
+        """``params``, when given, is a full ``params_tree``-shaped dict
+        (``{"unet", "vae", "class_embedding"}``) used in place of the held
+        checkpoint — pass it through a surrounding jit as a traced argument
+        to sample from swapped weights (EMA, another checkpoint) without
+        re-tracing."""
+        p = params or {}
         b = int(class_labels.shape[0])
         rng, k_prep = jax.random.split(rng)
         start = latents if latents is not None else self.prepare_latents(
             image, b, k_prep
         )
-        class_seq = self.encode_class(class_labels, params)
+        class_seq = self.encode_class(class_labels, p.get("class_embedding"))
         out_latents = sampler.ddim_sample(
-            self.denoiser_fn(params),
+            self.denoiser_fn(p.get("unet")),
             self._schedule,
             class_seq,
             start_image=start,
@@ -190,7 +238,7 @@ class SDImg2ImgPipeline:
         )
         if output_type == "latent":
             return out_latents
-        images = self.decode_latents(out_latents)
+        images = self.decode_latents(out_latents, p.get("vae"))
         if output_type == "image+latent":
             return images, out_latents
         return images
@@ -204,14 +252,16 @@ class SDImg2ImgPipeline:
         params=None,
     ) -> Array:
         """DDIM inversion in latent space (LDM preprocess + inversion,
-        reference ``_LDM_preprocess`` + ``_inversion``)."""
+        reference ``_LDM_preprocess`` + ``_inversion``).  ``params`` as in
+        :meth:`generate` — a ``params_tree``-shaped dict."""
+        p = params or {}
         if image_or_latents.shape[-1] != self.unet_config.in_channels:
-            latents = self.encode_images(image_or_latents)
+            latents = self.encode_images(image_or_latents, params=p.get("vae"))
         else:
             latents = image_or_latents
-        class_seq = self.encode_class(class_labels, params)
+        class_seq = self.encode_class(class_labels, p.get("class_embedding"))
         return sampler.ddim_invert(
-            self.denoiser_fn(params), self._schedule, latents, class_seq,
+            self.denoiser_fn(p.get("unet")), self._schedule, latents, class_seq,
             num_inference_steps=num_inference_steps,
         )
 

@@ -55,6 +55,22 @@ class InferenceEngine:
             raise TypeError(f"unsupported pipeline type {type(pipeline)}")
         self._compiled: Dict[str, object] = {}
         self._stats = {"requests": 0, "images": 0, "total_s": 0.0}
+        # The checkpoint rides through every compiled program as a TRACED
+        # ARGUMENT (not a captured constant): compiles stay small at full
+        # width, and swap_params() hot-reloads a new same-architecture
+        # checkpoint with ZERO recompiles — the production rollout path.
+        self._ptree = pipeline.params_tree
+
+    def swap_params(self, pipeline) -> None:
+        """Hot-swap the served checkpoint (same architecture) without
+        recompiling any op program."""
+        if pipeline.arch_fingerprint() != self.pipe.arch_fingerprint():
+            raise ValueError(
+                "swap_params requires an identical architecture "
+                "(arch_fingerprint mismatch)"
+            )
+        self.pipe = pipeline
+        self._ptree = pipeline.params_tree
 
     # -- shapes ------------------------------------------------------------
     @property
@@ -77,59 +93,73 @@ class InferenceEngine:
         return np.concatenate([arr, pad])
 
     # -- op builders -------------------------------------------------------
+    def _abstract_ptree(self):
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self._ptree
+        )
+
     def _build_generate(self):
         cfg = self.config
 
-        def run(labels, rng):
+        def run(ptree, labels, rng):
             if self.is_sd:
                 return self.pipe.generate(
                     labels, rng, num_inference_steps=cfg.num_inference_steps,
-                    guidance_scale=cfg.guidance_factor,
+                    guidance_scale=cfg.guidance_factor, params=ptree,
                 )
             return self.pipe.generate(
                 labels, rng, num_inference_steps=cfg.num_inference_steps,
-                guidance_factor=cfg.guidance_factor,
+                guidance_factor=cfg.guidance_factor, params=ptree,
             )
 
-        labels = jnp.zeros((cfg.max_batch,), jnp.int32)
-        return jax.jit(run).lower(labels, jax.random.key(0)).compile()
+        labels = jax.ShapeDtypeStruct((cfg.max_batch,), jnp.int32)
+        return jax.jit(run).lower(
+            self._abstract_ptree(), labels, jax.random.key(0)
+        ).compile()
 
     def _build_transfer(self):
         cfg = self.config
 
-        def run(images, src, tgt):
+        def run(ptree, images, src, tgt):
             if self.is_sd:
-                x = self.pipe.encode_images(images)
+                x = self.pipe.encode_images(images, params=ptree["vae"])
                 out = T.ddib(
-                    self.pipe.denoiser_fn(), self.pipe.schedule, x,
-                    self.pipe.encode_class(src), self.pipe.encode_class(tgt),
+                    self.pipe.denoiser_fn(ptree["unet"]), self.pipe.schedule, x,
+                    self.pipe.encode_class(src, ptree["class_embedding"]),
+                    self.pipe.encode_class(tgt, ptree["class_embedding"]),
                     num_inference_steps=cfg.num_inference_steps,
                 )
-                return self.pipe.decode_latents(out)
+                return self.pipe.decode_latents(out, ptree["vae"])
             return T.ddib(
-                self.pipe.denoiser_fn(), self.pipe.schedule, images,
-                self.pipe.class_embeddings(src), self.pipe.class_embeddings(tgt),
+                self.pipe.denoiser_fn(ptree), self.pipe.schedule, images,
+                self.pipe.class_embeddings(src, ptree),
+                self.pipe.class_embeddings(tgt, ptree),
                 num_inference_steps=cfg.num_inference_steps,
             )
 
         shape = (cfg.max_batch,) + self.image_shape
         args = (
-            jnp.zeros(shape), jnp.zeros((cfg.max_batch,), jnp.int32),
-            jnp.ones((cfg.max_batch,), jnp.int32),
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((cfg.max_batch,), jnp.int32),
+            jax.ShapeDtypeStruct((cfg.max_batch,), jnp.int32),
         )
-        return jax.jit(run).lower(*args).compile()
+        return jax.jit(run).lower(self._abstract_ptree(), *args).compile()
 
     def _build_invert(self):
         cfg = self.config
 
-        def run(images, labels):
+        def run(ptree, images, labels):
             return self.pipe.invert(
-                images, labels, num_inference_steps=cfg.num_inference_steps
+                images, labels, num_inference_steps=cfg.num_inference_steps,
+                params=ptree,
             )
 
         shape = (cfg.max_batch,) + self.image_shape
-        args = (jnp.zeros(shape), jnp.zeros((cfg.max_batch,), jnp.int32))
-        return jax.jit(run).lower(*args).compile()
+        args = (
+            jax.ShapeDtypeStruct(shape, jnp.float32),
+            jax.ShapeDtypeStruct((cfg.max_batch,), jnp.int32),
+        )
+        return jax.jit(run).lower(self._abstract_ptree(), *args).compile()
 
     # -- lifecycle ---------------------------------------------------------
     def warmup(self) -> Dict[str, float]:
@@ -157,7 +187,9 @@ class InferenceEngine:
         k = len(class_labels)
         labels = self._pad(np.asarray(class_labels, np.int32))
         t0 = time.perf_counter()
-        out = self._get("generate")(jnp.asarray(labels), jax.random.key(seed))
+        out = self._get("generate")(
+            self._ptree, jnp.asarray(labels), jax.random.key(seed)
+        )
         out = np.asarray(to_images(out[:k]))
         self._account(k, t0)
         return out
@@ -179,7 +211,8 @@ class InferenceEngine:
         x = self._pad(np.asarray(images01, np.float32) * 2.0 - 1.0)
         t0 = time.perf_counter()
         out = self._get("transfer")(
-            jnp.asarray(x), jnp.asarray(self._pad(src)), jnp.asarray(self._pad(tgt))
+            self._ptree, jnp.asarray(x), jnp.asarray(self._pad(src)),
+            jnp.asarray(self._pad(tgt)),
         )
         out = np.asarray(to_images(out[:k]))
         self._account(k, t0)
@@ -190,7 +223,8 @@ class InferenceEngine:
         x = self._pad(np.asarray(images01, np.float32) * 2.0 - 1.0)
         t0 = time.perf_counter()
         out = self._get("invert")(
-            jnp.asarray(x), jnp.asarray(self._pad(np.asarray(labels, np.int32)))
+            self._ptree, jnp.asarray(x),
+            jnp.asarray(self._pad(np.asarray(labels, np.int32))),
         )
         self._account(k, t0)
         return np.asarray(out[:k])
