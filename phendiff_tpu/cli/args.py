@@ -128,6 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("constant", "constant_with_warmup", "linear",
                             "cosine", "polynomial"))
     p.add_argument("--lr_warmup_steps", type=int, default=500)
+    # TPU-native extension (no reference analog): Adam first-moment dtype;
+    # bfloat16 halves the mu HBM traffic of the update phase at full width
+    p.add_argument("--adam_moment_dtype", type=str, default="float32",
+                   choices=("float32", "bfloat16"))
     # EMA
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--no_use_ema", dest="use_ema", action="store_false")

@@ -94,6 +94,7 @@ def trainer_config_from_args(args) -> TrainerConfig:
                 lr_scheduler=args.lr_scheduler,
                 lr_warmup_steps=args.lr_warmup_steps,
                 total_steps=args.max_num_steps or 100_000,
+                moment_dtype=args.adam_moment_dtype,
             ),
         ),
         eval=EvalConfig(

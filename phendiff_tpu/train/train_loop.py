@@ -59,6 +59,11 @@ class OptimizerConfig:
     # reference scales lr by sqrt(num_processes) (train.py:268-285); here the
     # analogous knob is sqrt(data-parallel size), applied by the caller.
     lr_scale: float = 1.0
+    # dtype of Adam's FIRST moment (optax mu_dtype).  "bfloat16" halves the
+    # mu read+write HBM traffic of the update phase (~7 GB/step at full
+    # SD width) — a TPU train-step bandwidth lever the torch reference has
+    # no analog for; the second moment and the master params stay f32.
+    moment_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
 def make_lr_schedule(cfg: OptimizerConfig) -> optax.Schedule:
@@ -107,6 +112,8 @@ def make_optimizer(
             b2=cfg.adam_beta2,
             eps=cfg.adam_epsilon,
             weight_decay=cfg.adam_weight_decay,
+            mu_dtype=(jnp.bfloat16 if cfg.moment_dtype == "bfloat16"
+                      else None),
         ),
     )
     if trainable_mask is None:

@@ -158,3 +158,41 @@ def test_data_parallel_step_matches_single_device(setup):
     p1 = jax.tree.leaves(s1.params)[0]
     p8 = jax.tree.leaves(s8.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p8), atol=1e-5)
+
+
+def test_bf16_first_moment_stores_and_descends(setup):
+    """moment_dtype="bfloat16" (optax mu_dtype) stores Adam's first moment
+    in bf16 — halving its HBM read+write traffic in the update phase
+    (~7 GB/step at full SD width, docs/BENCHMARKS.md roofline) — while the
+    master params, second moment, and update math stay f32.  TPU-native
+    lever; the torch reference has no analog (its optimizer state is f32,
+    train.py).  Training must still descend."""
+    model_apply, embed_fn, schedule, params = setup
+    cfg = TrainConfig(
+        optimizer=OptimizerConfig(
+            learning_rate=1e-3, total_steps=100, moment_dtype="bfloat16"
+        )
+    )
+    opt = make_optimizer(cfg.optimizer)
+    step_fn = jax.jit(make_train_step(model_apply, embed_fn, schedule, cfg, opt))
+    state = init_train_state(params, opt)
+    # the mu tree is stored in bf16, nu and params stay f32
+    mus = [
+        s
+        for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: hasattr(x, "mu")
+        )
+        if hasattr(s, "mu")
+    ]
+    assert mus, "no ScaleByAdamState found in opt_state"
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(mus[0].mu))
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(mus[0].nu))
+    imgs = jax.random.normal(jax.random.key(3), (8, 8, 8, 3)) * 0.5
+    labels = jnp.array([0, 1] * 4)
+    first = last = None
+    for i in range(10):
+        state, m = step_fn(state, (imgs, labels), jax.random.key(42))
+        first = float(m["loss"]) if first is None else first
+        last = float(m["loss"])
+        assert int(m["nonfinite"]) == 0
+    assert last < first
