@@ -328,7 +328,20 @@ def _bench_sd_mono(latent: int, batch: int, steps: int):
         jnp.zeros((1, latent, latent, cfg.in_channels)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # bf16 STORAGE for inference params (the comparison engine's
+    # inference_param_dtype default).  Measured r5 at b64/128px:
+    # throughput-NEUTRAL (27.99 bf16 vs 27.95 f32 transfers/s — the scan
+    # is compute-bound at this batch, not weight-bound), but it halves
+    # the resident weight footprint (1.7 GB vs 3.5 GB) and matches the
+    # reference's unconditional fp16 autocast.  BENCH_SD_PARAM_DTYPE=
+    # float32 reproduces the f32-storage variant.
+    pdt = getattr(jnp, os.environ.get("BENCH_SD_PARAM_DTYPE", "bfloat16"))
+    params = jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, pdt if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype
+        ),
+        shapes,
+    )
     n = sum(p.size for p in jax.tree.leaves(params))
 
     x = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
@@ -401,7 +414,14 @@ def _bench_sd_seg(latent: int, batch: int, steps: int = 50):
         jnp.zeros((1, latent, latent, cfg.in_channels)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 1024)),
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # bf16 storage, same rationale as _bench_sd_mono
+    pdt = getattr(jnp, os.environ.get("BENCH_SD_PARAM_DTYPE", "bfloat16"))
+    params = jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, pdt if jnp.issubdtype(s.dtype, jnp.floating) else s.dtype
+        ),
+        shapes,
+    )
     n = sum(p.size for p in jax.tree.leaves(params))
 
     x = jax.random.normal(jax.random.key(1), (batch, latent, latent, 4))
@@ -502,9 +522,15 @@ def _bench_sd_train_mono(latent: int, batch: int):
         return pad_to_clip_sequence(p["class_embedding"][labels])
 
     schedule = make_schedule(SchedulerConfig(num_train_timesteps=1000))
+    # Adam first-moment storage (train_loop.OptimizerConfig.moment_dtype):
+    # bf16 halves the mu read+write of the update phase (~7 GB/step at
+    # full width) — the roofline's measured optimizer lever.  f32 default
+    # for continuity with the r1-r4 captures.
+    moment_dtype = os.environ.get("BENCH_SDTRAIN_MOMENT_DTYPE", "float32")
     tcfg = TrainConfig(
         proba_uncond=0.1, ema=EMAConfig(),
-        optimizer=OptimizerConfig(learning_rate=1e-5, max_grad_norm=1.0),
+        optimizer=OptimizerConfig(learning_rate=1e-5, max_grad_norm=1.0,
+                                  moment_dtype=moment_dtype),
     )
     opt = make_optimizer(tcfg.optimizer)
     step = jax.jit(
@@ -546,6 +572,7 @@ def _bench_sd_train_mono(latent: int, batch: int):
         "batch": batch,
         "latent": latent,
         "route": "monolithic",
+        "moment_dtype": moment_dtype,
         "step_time_s": round(dt / iters, 3),
         "tflops_per_sec": round(sustained / 1e12, 1) if sustained else None,
         "mfu": round(sustained / CHIP_PEAK_FLOPS, 3) if sustained else None,

@@ -21,6 +21,28 @@ def _dtype(name):
     ]
 
 
+def cast_floating(tree, dtype):
+    """Cast every floating-point array leaf of ``tree`` to ``dtype``.
+
+    Integer/bool leaves (e.g. step counters, label tables) pass through.
+    Used to store INFERENCE param trees in bfloat16: halves the resident
+    weight footprint (1.7 GB vs 3.5 GB at full SD-2.1 width) and the
+    per-forward weight reads.  Measured r5 on the TPU at 128px/b64 the
+    denoise scan is compute-bound, so throughput is unchanged (27.99 vs
+    27.95 transfers/s) — the win is memory headroom, not speed.  The
+    reference's comparison app runs under fp16 autocast unconditionally
+    (``img2img_comparison.py:56-59``), so half-precision inference
+    weights are the parity default, not an approximation."""
+    if isinstance(dtype, str):
+        dtype = _dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class Policy:
     """param_dtype: storage; compute_dtype: activations/matmuls; output_dtype."""

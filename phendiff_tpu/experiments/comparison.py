@@ -87,6 +87,15 @@ class ComparisonConfig:
     # one chip — a full-width UNet whose params exceed one chip's HBM
     # runs across the slice.  Ignored on the jitted (monolithic) route.
     pipeline_parallel: bool = False
+    # Storage dtype for the loaded checkpoints' floating leaves.  bf16
+    # halves the resident weight footprint (1.7 GB vs 3.5 GB at full SD
+    # width) — throughput-neutral at 128px/b64 where the scan is
+    # compute-bound (measured r5: 27.99 vs 27.95 transfers/s) but it
+    # doubles the checkpoints that fit per chip for multi-checkpoint
+    # sweeps.  The reference's comparison app runs under fp16 autocast
+    # unconditionally (img2img_comparison.py:56-59), so half precision is
+    # the parity default; set None to keep checkpoints as stored on disk.
+    inference_param_dtype: Optional[str] = "bfloat16"
 
     @classmethod
     def from_yaml(cls, path: str) -> "ComparisonConfig":
@@ -306,6 +315,13 @@ class ComparisonExperiment:
             name: self._load_pipeline(path)
             for name, path in config.pipelines.items()
         }
+        if config.inference_param_dtype:
+            # one cast at load time; every transfer/probe/shard below sees
+            # the half-precision tree (ComparisonConfig.inference_param_dtype)
+            self.pipes = {
+                name: pipe.cast_params(config.inference_param_dtype)
+                for name, pipe in self.pipes.items()
+            }
         self.splits: Dict[str, DatasetIndex] = {
             "train": scan_imagefolder(config.dataset_train)
         }

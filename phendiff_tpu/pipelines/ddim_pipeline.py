@@ -102,6 +102,16 @@ class ConditionalDDIMPipeline:
         ``SDImg2ImgPipeline.params_tree``)."""
         return self.params
 
+    def cast_params(self, dtype=jnp.bfloat16) -> "ConditionalDDIMPipeline":
+        """Pipeline with floating param leaves stored in ``dtype`` — for
+        INFERENCE weight-streaming economy (see
+        ``SDImg2ImgPipeline.cast_params``); training keeps f32 masters."""
+        from phendiff_tpu.core.precision import cast_floating
+
+        return dataclasses.replace(
+            self, params=cast_floating(self.params, dtype)
+        )
+
     def arch_fingerprint(self) -> str:
         """Architecture identity: equal fingerprints ⇒ one compiled
         transfer program serves both checkpoints."""

@@ -384,3 +384,62 @@ def test_sharded_comparison_matches_single_device(tiny_image_root, tmp_path):
         # identical math; the padded batch shape compiles a different
         # program, so f32 fusion order may differ by one quantum
         assert np.abs(pa.astype(int) - pb.astype(int)).max() <= 1
+
+
+def test_inference_param_dtype_default_bf16(tiny_image_root, tmp_path):
+    """Checkpoints are cast to bfloat16 STORAGE at load by default
+    (ComparisonConfig.inference_param_dtype): with params as traced jit
+    arguments the weights stream from HBM every forward, and f32 storage
+    doubles that traffic.  Parity: the reference's comparison app runs
+    under fp16 autocast unconditionally (img2img_comparison.py:56-59).
+    inference_param_dtype=None must keep the on-disk f32 leaves and
+    produce (nearly) the same images."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    pipe = SDImg2ImgPipeline.init_random(
+        TINY_SD, TINY_VAE,
+        SchedulerConfig(num_train_timesteps=20, clip_sample=False),
+        num_classes=2, class_embedding_dim=16, seed=0,
+    )
+    pipe_dir = tmp_path / "sd_pipe"
+    pipe.save_pretrained(str(pipe_dir))
+
+    outs = {}
+    for tag, pdt in (("bf16", "bfloat16"), ("f32", None)):
+        cfg = ComparisonConfig(
+            output_dir=str(tmp_path / tag),
+            pipelines={"sd": str(pipe_dir)},
+            dataset_train=str(tiny_image_root),
+            definition=(32, 32),
+            methods=("ddib",),
+            method_params={"ddib": MethodParams(batch_size=8)},
+            num_inference_steps=3,
+            metrics=MetricsConfig(fid=False, isc=False, kid=False),
+            debug=True,
+            segmented_sd=False,
+            inference_param_dtype=pdt,
+        )
+        exp = ComparisonExperiment(cfg)
+        leaves = jax.tree.leaves(exp.pipes["sd"].unet_params)
+        want = jnp.bfloat16 if pdt else jnp.float32
+        assert all(
+            l.dtype == want
+            for l in leaves
+            if jnp.issubdtype(l.dtype, jnp.floating)
+        )
+        exp.run_transfers()
+        outs[tag] = sorted(p for p in (tmp_path / tag).rglob("*_to_*.png"))
+
+    assert len(outs["bf16"]) == len(outs["f32"]) > 0
+    for a, b in zip(outs["bf16"], outs["f32"]):
+        with Image.open(a) as ia, Image.open(b) as ib:
+            pa, pb = np.asarray(ia).astype(int), np.asarray(ib).astype(int)
+        # same math up to bf16 rounding of the stored weights, amplified
+        # by the 6 UNet calls of a 3-step DDIB round trip on a RANDOM-INIT
+        # model (measured ~5.7/255 mean); the routes must still track
+        # each other pixel-for-pixel
+        assert np.abs(pa - pb).mean() <= 12.0
+        corr = np.corrcoef(pa.ravel(), pb.ravel())[0, 1]
+        assert corr > 0.95, f"bf16/f32 outputs decorrelated: {corr}"
