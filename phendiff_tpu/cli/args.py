@@ -128,8 +128,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("constant", "constant_with_warmup", "linear",
                             "cosine", "polynomial"))
     p.add_argument("--lr_warmup_steps", type=int, default=500)
-    # TPU-native extension (no reference analog): Adam first-moment dtype;
-    # bfloat16 halves the mu HBM traffic of the update phase at full width
+    # TPU-native extension (no reference analog): Adam first-moment dtype.
+    # bfloat16 halves the mu HBM traffic but measured 2.6x SLOWER at full
+    # SD width (r5, docs/runs/r5 §6: the casts break XLA's fusion of the
+    # optimizer into the backward) — keep float32 unless profiled.
     p.add_argument("--adam_moment_dtype", type=str, default="float32",
                    choices=("float32", "bfloat16"))
     # EMA

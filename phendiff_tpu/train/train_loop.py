@@ -59,10 +59,14 @@ class OptimizerConfig:
     # reference scales lr by sqrt(num_processes) (train.py:268-285); here the
     # analogous knob is sqrt(data-parallel size), applied by the caller.
     lr_scale: float = 1.0
-    # dtype of Adam's FIRST moment (optax mu_dtype).  "bfloat16" halves the
-    # mu read+write HBM traffic of the update phase (~7 GB/step at full
-    # SD width) — a TPU train-step bandwidth lever the torch reference has
-    # no analog for; the second moment and the master params stay f32.
+    # dtype of Adam's FIRST moment (optax mu_dtype).  "bfloat16" halves
+    # the mu read+write HBM traffic of the update phase (~7 GB/step at
+    # full SD width) — but MEASURED 2.6x SLOWER at full width on the TPU
+    # (r5, docs/runs/r5 §6: 0.281 vs 0.108 s/step): the per-leaf casts
+    # break XLA's fusion of the optimizer update into the backward, the
+    # same fusion that lets the full-width step fit HBM at all.  Keep
+    # "float32" unless profiling a specific model says otherwise; the
+    # second moment and the master params stay f32 either way.
     moment_dtype: str = "float32"  # "float32" | "bfloat16"
 
 
