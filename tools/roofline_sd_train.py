@@ -11,9 +11,13 @@ audit's per-op-floor methodology, docs/BENCHMARKS.md):
                    bench configuration: fwd + remat-fwd + bwd ~ 4x fwd)
 * ``grad_nr``    — same with remat OFF (isolates the remat extra forward;
                    guarded — full width @128px may not fit without remat)
-* ``opt``        — clip + AdamW + EMA update alone, fed param-shaped
-                   grads (pure HBM-bandwidth phase: ~31 GB/step of f32
-                   state traffic on 866M params)
+* ``opt``        — achievable clip+AdamW+EMA HBM bandwidth, measured on a
+                   synthetic ~200M-param tree (``opt_micro``) and scaled:
+                   the full-width standalone opt program compile-OOMs
+                   (17.3 GB of argument trees vs 15.75 GB HBM) and the
+                   failed compile wedges the tunnel session, so the
+                   full-width opt cost is attributed as (full − grad);
+                   ``--attempt-standalone-opt`` opts into the OOM repro
 * ``full``       — the real train step (make_train_step), remat ON
 * ``full_nr``    — the real train step, remat OFF (guarded)
 
@@ -261,6 +265,10 @@ def main():
                     choices=("float32", "bfloat16"))
     ap.add_argument("--phases", default="fwd,grad,grad_nr,opt,full,full_nr",
                     help="comma list to run (subset for quick probes)")
+    ap.add_argument("--attempt-standalone-opt", action="store_true",
+                    help="try the full-width standalone opt program "
+                    "(known compile-OOM that WEDGES the tunnel session; "
+                    "run LAST, in a throwaway process)")
     args = ap.parse_args()
     latent = args.res // 8
     phases = set(args.phases.split(","))
@@ -269,6 +277,27 @@ def main():
 
     report = {"res": args.res, "moment_dtype": args.moment_dtype,
               "load_avg_1m": round(os.getloadavg()[0], 2), "batches": {}}
+    if "opt" in phases:
+        # batch-independent; FIRST so a later wedge can't lose it
+        try:
+            mdt, mbytes = phase_opt_micro(args.iters)
+            report["opt_micro"] = {
+                "s": round(mdt, 4),
+                "state_gb": round(mbytes / 1e9, 2),
+                "achieved_gbps": round(mbytes * 1.8 / mdt / 1e9, 0),
+                # reads grads+mu+nu+p+ema (5 trees), writes mu+nu+p+ema
+                # (4 trees) = 9 tree-passes over 5-tree state bytes -> 1.8x
+                "note": "synthetic ~200M-param adam+ema update; "
+                        "traffic model 1.8x state bytes",
+            }
+            print(f"# opt_micro {mdt*1e3:.1f}ms "
+                  f"({report['opt_micro']['achieved_gbps']} GB/s implied)",
+                  file=sys.stderr)
+        except Exception as e:
+            report["opt_micro"] = {
+                "error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(f"# opt_micro failed: {type(e).__name__}",
+                  file=sys.stderr)
     for batch in [int(b) for b in args.batches.split(",")]:
         row = {}
         built = build(latent, batch, remat=True,
@@ -300,52 +329,33 @@ def main():
                     dt - row["grad"]["s"], 4)
             print(f"# b{batch} full(remat) {dt*1e3:.1f}ms "
                   f"({batch/dt:.1f} samples/s)", file=sys.stderr)
-        if "opt" in phases:
-            if report.get("opt_standalone_failed"):
-                # the standalone-opt OOM is batch-independent (pure state
-                # trees); don't burn another ~5-min compile attempt
-                row["opt"] = {"skipped": "standalone opt failed for an "
-                              "earlier batch (batch-independent)"}
-            else:
-                try:
-                    dt, comp, nbytes = phase_opt(built, batch, args.iters)
-                    row["opt"] = {
-                        "s": round(dt, 4), "compile_s": round(comp, 1),
-                        "state_gb": round(nbytes / 1e9, 2),
-                        # effective traffic if the phase were pure HBM
-                        # streaming
-                        "implied_gbps": round(nbytes / dt / 1e9, 0),
-                    }
-                    print(f"# b{batch} opt {dt*1e3:.1f}ms "
-                          f"(state {nbytes/1e9:.1f} GB)", file=sys.stderr)
-                except Exception as e:
-                    report["opt_standalone_failed"] = True
-                    row["opt"] = {
-                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
-                    print(f"# b{batch} opt (standalone) failed: "
-                          f"{type(e).__name__} — falling back to opt_micro "
-                          f"+ difference attribution", file=sys.stderr)
-            if "opt_micro" not in report and "s" not in row["opt"]:
-                try:
-                    mdt, mbytes = phase_opt_micro(args.iters)
-                    report["opt_micro"] = {
-                        "s": round(mdt, 4),
-                        "state_gb": round(mbytes / 1e9, 2),
-                        "achieved_gbps": round(mbytes * 1.8 / mdt / 1e9, 0),
-                        # reads grads+mu+nu+p+ema (5 trees), writes
-                        # mu+nu+p+ema (4 trees) = 9 tree-passes over
-                        # 5-tree state bytes -> 1.8x
-                        "note": "synthetic ~200M-param adam+ema update; "
-                                "traffic model 1.8x state bytes",
-                    }
-                    print(f"# opt_micro {mdt*1e3:.1f}ms "
-                          f"({report['opt_micro']['achieved_gbps']} GB/s "
-                          f"implied)", file=sys.stderr)
-                except Exception as e:
-                    report["opt_micro"] = {
-                        "error": f"{type(e).__name__}: {str(e)[:200]}"}
-                    print(f"# opt_micro failed: {type(e).__name__}",
-                          file=sys.stderr)
+        if "opt" in phases and args.attempt_standalone_opt \
+                and not report.get("opt_standalone_failed"):
+            # NOT attempted by default: the full-width standalone opt
+            # program OOMs at compile (17.3 GB of f32 argument trees vs
+            # 15.75 GB HBM) and the failed compile WEDGES the tunnel
+            # session — every subsequent eager op in this process raises
+            # INVALID_ARGUMENT (measured twice, r5; evidence
+            # docs/runs/r5/roofline_standalone_opt_oom.err).  The real
+            # step fits because XLA fuses each weight's update into the
+            # backward that produced its gradient.
+            try:
+                dt, comp, nbytes = phase_opt(built, batch, args.iters)
+                row["opt"] = {
+                    "s": round(dt, 4), "compile_s": round(comp, 1),
+                    "state_gb": round(nbytes / 1e9, 2),
+                    # effective traffic if the phase were pure HBM
+                    # streaming
+                    "implied_gbps": round(nbytes / dt / 1e9, 0),
+                }
+                print(f"# b{batch} opt {dt*1e3:.1f}ms "
+                      f"(state {nbytes/1e9:.1f} GB)", file=sys.stderr)
+            except Exception as e:
+                report["opt_standalone_failed"] = True
+                row["opt"] = {
+                    "error": f"{type(e).__name__}: {str(e)[:200]}"}
+                print(f"# b{batch} opt (standalone) failed: "
+                      f"{type(e).__name__}", file=sys.stderr)
         if phases & {"grad_nr", "full_nr"}:
             built_nr = build(latent, batch, remat=False,
                              moment_dtype=args.moment_dtype)
