@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import logging
 import os
 import shutil
 import sys
@@ -53,6 +54,13 @@ def main(argv=None) -> int:
 
     force_platform_from_env()
     setup_compilation_cache()
+    # INFO progress lines (route decisions, per-checkpoint transfer walls)
+    # — the reference's comparison app logs INFO via the accelerate logger
+    # (img2img_comparison.py main's logging setup)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
     p = argparse.ArgumentParser("phendiff-img2img-comparison")
     p.add_argument("--config", required=True, help="YAML comparison config")
     p.add_argument("--override", nargs="*", default=[], help="key=value overrides")

@@ -447,11 +447,20 @@ class ComparisonExperiment:
 
     # -- transfers ---------------------------------------------------------
     def run_transfers(self) -> None:
+        import time
+
         cfg = self.config
+        log = logging.getLogger(__name__)
         rng = jax.random.key(cfg.seed)
+        # per-(method, pipeline) wall seconds — sweep evidence that only the
+        # FIRST same-architecture checkpoint pays the compile (the program
+        # cache above); surfaced in timings.json next to metrics.json
+        self.transfer_timings: Dict[str, Dict[str, float]] = {}
         for method in cfg.methods:
             params = cfg.method_params.get(method, MethodParams())
             for pipe_name, pipe in self.pipes.items():
+                t_pipe = time.perf_counter()
+                n_images = 0
                 segmented = self._use_segmented(pipe, method, params)
                 fn = self._transfer_fn(
                     pipe, method, params, segmented,
@@ -500,8 +509,22 @@ class ComparisonExperiment:
                                 images[:8], np.asarray(out)[:n_real][:8]
                             )
                             panel.save(os.path.join(out_dir, "_pairs.png"))
+                        n_images += n_real
                         if cfg.debug:
                             break
+                wall = time.perf_counter() - t_pipe
+                self.transfer_timings[f"{method}/{pipe_name}"] = {
+                    "wall_s": round(wall, 3),
+                    "images": n_images,
+                    "images_per_sec": round(n_images / wall, 4) if wall else 0.0,
+                }
+                log.info(
+                    "transfers %s/%s: %.1f s for %d images (%.3f img/s)",
+                    method, pipe_name, wall, n_images,
+                    n_images / wall if wall else 0.0,
+                )
+        with open(os.path.join(cfg.output_dir, "timings.json"), "w") as f:
+            json.dump(self.transfer_timings, f, indent=2, sort_keys=True)
 
     # -- metrics -----------------------------------------------------------
     def _features_of_dir(self, d: str) -> Optional[np.ndarray]:
